@@ -1,0 +1,33 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding is exercised without TPU hardware.
+
+Also enables the persistent compilation cache (XLA compiles are ~0.4s each
+in this environment; the cache amortizes them across runs) and full-precision
+matmuls (the default matmul precision performs bf16 passes, which is far too
+coarse for geometry/normal-equation math).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
