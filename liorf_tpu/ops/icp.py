@@ -1,0 +1,96 @@
+"""Batched rigid ICP for loop-closure verification.
+
+Replacement for the PCL ``IterativeClosestPoint`` used to verify loop
+candidates (``/root/reference/src/mapOptmization.cpp:571-585,663-677``):
+point-to-point correspondences (grid-accelerated 1-NN), closed-form SVD
+(Kabsch) alignment per iteration, fitness = mean squared correspondence
+distance (PCL ``getFitnessScore`` semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from .knn import knn_bruteforce
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+class ICPParams(NamedTuple):
+    max_iters: int = 30
+    max_corr_dist: float = 30.0  # historyKeyframeSearchRadius * 2
+    epsilon: float = 1e-6  # transform convergence (same role as PCL's)
+
+
+class ICPResult(NamedTuple):
+    pose: jax.Array  # [6] rpyxyz source -> target
+    fitness: jax.Array  # [] mean squared corr distance
+    converged: jax.Array  # [] bool
+    iters: jax.Array
+
+
+@partial(jax.jit, static_argnames=("params",))
+def icp_point2point(
+    source_xyz: jax.Array,
+    source_mask: jax.Array,
+    target_xyz: jax.Array,
+    target_mask: jax.Array,
+    init_pose: jax.Array,
+    params: ICPParams = ICPParams(),
+) -> ICPResult:
+    """Align source onto target; returns the source->target pose."""
+    max_d2 = params.max_corr_dist * params.max_corr_dist
+
+    def correspondences(pose):
+        R = se3.euler_to_rot(pose[:3])
+        moved = source_xyz @ R.T + pose[3:]
+        d2, idx = knn_bruteforce(target_xyz, target_mask, moved, source_mask, k=1)
+        d2, idx = d2[:, 0], idx[:, 0]
+        ok = source_mask & jnp.isfinite(d2) & (d2 < max_d2)
+        return moved, target_xyz[idx], ok, d2
+
+    def body(state):
+        pose, prev_delta, it, done = state
+        moved, matched, ok, _ = correspondences(pose)
+        w = ok.astype(source_xyz.dtype)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        mu_s = jnp.einsum("n,ni->i", w, moved) / wsum
+        mu_t = jnp.einsum("n,ni->i", w, matched) / wsum
+        S = jnp.einsum(
+            "n,ni,nj->ij", w, matched - mu_t, moved - mu_s, precision=_HIGH
+        )
+        U, _, Vt = jnp.linalg.svd(S)
+        det = jnp.linalg.det(U @ Vt)
+        D = jnp.diag(jnp.array([1.0, 1.0, 1.0], S.dtype)).at[2, 2].set(det)
+        R_d = U @ D @ Vt
+        t_d = mu_t - R_d @ mu_s
+        # compose: new_pose = delta o pose
+        R0 = se3.euler_to_rot(pose[:3])
+        R_new, t_new = se3.se3_compose(R_d, t_d, R0, pose[3:])
+        new_pose = jnp.concatenate([se3.rot_to_euler(R_new), t_new])
+        delta = jnp.sum((new_pose - pose) ** 2)
+        done = delta < params.epsilon
+        return new_pose, delta, it + 1, done
+
+    def cond(state):
+        _, _, it, done = state
+        return (it < params.max_iters) & ~done
+
+    init = (
+        init_pose.astype(jnp.float32),
+        jnp.asarray(jnp.inf, jnp.float32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+    )
+    pose, _, iters, done = jax.lax.while_loop(cond, body, init)
+
+    _, _, ok, d2 = correspondences(pose)
+    n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
+    fitness = jnp.sum(jnp.where(ok, d2, 0.0)) / n_ok
+    any_ok = jnp.sum(ok.astype(jnp.int32)) > 0
+    return ICPResult(pose=pose, fitness=fitness, converged=done & any_ok, iters=iters)

@@ -1,0 +1,177 @@
+"""Scan-to-map point-to-plane Gauss-Newton registration.
+
+TPU-native re-design of the reference's scan matcher
+(``/root/reference/src/mapOptmization.cpp:1074-1320``): per GN iteration,
+every scan point finds its 5 nearest local-map points (spatial grid instead
+of a kd-tree), a plane is fit through them, and the weighted point-to-plane
+residuals drive a 6-DoF euler-parameterized Gauss-Newton step with the
+LOAM-style eigenvalue degeneracy projection
+(``mapOptmization.cpp:1242-1271``). The whole solve — correspondences,
+plane fits, Jacobian assembly, 6x6 reduction — is one jit'd
+``lax.while_loop`` with fully batched iterations; no per-point host code.
+
+Semantics kept from the reference:
+  * pose = [roll, pitch, yaw, x, y, z], R = Rz Ry Rx;
+  * 5th-NN gate at 1 m (``:1097``), plane residual gate 0.2 m (``:1114``);
+  * weight s = 1 - 0.9 |d| / |p_sensor|^(1/4), kept if s > 0.1 (``:1125-1139``);
+  * degeneracy: eig(J^T J) < 100 -> project the update off those directions;
+  * convergence at |drot| < 0.05 deg and |dtrans| < 0.05 cm (``:1280-1292``);
+  * requires >= 50 matched points to optimize (``:1182``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from .knn import SpatialHashGrid, knn_grid
+from .plane_fit import fit_planes
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+class ScanMatchParams(NamedTuple):
+    max_iters: int = 30
+    eigen_thresh: float = 100.0
+    corr_dist: float = 1.0  # max 5th-NN distance [m]
+    plane_max_resid: float = 0.2
+    min_weight: float = 0.1
+    min_points: int = 50
+    conv_rot_deg: float = 0.05
+    conv_trans_cm: float = 0.05
+    knn_bucket: int = 16
+
+
+class ScanMatchResult(NamedTuple):
+    pose: jax.Array  # [6] rpyxyz
+    degenerate: jax.Array  # [] bool
+    converged: jax.Array  # [] bool
+    iters: jax.Array  # [] int32
+    num_matched: jax.Array  # [] int32 (matched points at the last iteration)
+
+
+def _rot_derivatives(rpy: jax.Array) -> jax.Array:
+    """[3] euler -> [3, 3, 3]: dR/d(roll), dR/d(pitch), dR/d(yaw)."""
+    r, p, y = rpy[0], rpy[1], rpy[2]
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    z = jnp.zeros_like(r)
+    o = jnp.ones_like(r)
+    Rx = jnp.array([[o, z, z], [z, cr, -sr], [z, sr, cr]])
+    Ry = jnp.array([[cp, z, sp], [z, o, z], [-sp, z, cp]])
+    Rz = jnp.array([[cy, -sy, z], [sy, cy, z], [z, z, o]])
+    dRx = jnp.array([[z, z, z], [z, -sr, -cr], [z, cr, -sr]])
+    dRy = jnp.array([[-sp, z, cp], [z, z, z], [-cp, z, -sp]])
+    dRz = jnp.array([[-sy, -cy, z], [cy, -sy, z], [z, z, z]])
+    d_roll = Rz @ Ry @ dRx
+    d_pitch = Rz @ dRy @ Rx
+    d_yaw = dRz @ Ry @ Rx
+    return jnp.stack([d_roll, d_pitch, d_yaw])
+
+
+def _build_system(pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params):
+    """One linearization: correspondences + plane fits + (H, g, count)."""
+    R = se3.euler_to_rot(pose[:3])
+    t = pose[3:]
+    world = scan_xyz @ R.T + t
+
+    d2, idx = knn_grid(grid, world, scan_mask, k=5, bucket=params.knn_bucket)
+    gate = d2[:, 4] < params.corr_dist * params.corr_dist  # 5th NN close enough
+    nbr_mask = jnp.isfinite(d2) & gate[:, None]
+    neighbors = grid.xyz[idx]  # [N, 5, 3]
+
+    fit = fit_planes(neighbors, nbr_mask, params.plane_max_resid)
+    pd2 = jnp.einsum("ni,ni->n", fit.normal, world) + fit.d
+    s = 1.0 - 0.9 * jnp.abs(pd2) / scan_norm_quarter
+    sel = scan_mask & gate & fit.valid & (s > params.min_weight)
+    w = jnp.where(sel, s, 0.0)
+
+    dR = _rot_derivatives(pose[:3])  # [3, 3, 3]
+    # J_rot[n, k] = normal_n . (dR_k @ p_n)
+    rotated = jnp.einsum("kij,nj->nki", dR, scan_xyz, precision=_HIGH)
+    J_rot = jnp.einsum("nki,ni->nk", rotated, fit.normal, precision=_HIGH)
+    J = jnp.concatenate([J_rot, fit.normal], axis=-1) * w[:, None]  # [N, 6]
+    b = -(w * pd2)
+
+    H = jnp.einsum("ni,nj->ij", J, J, precision=_HIGH)
+    g = jnp.einsum("ni,n->i", J, b, precision=_HIGH)
+    return H, g, jnp.sum(sel.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("params",))
+def scan_to_map(
+    scan_xyz: jax.Array,
+    scan_mask: jax.Array,
+    grid: SpatialHashGrid,
+    init_pose: jax.Array,
+    params: ScanMatchParams = ScanMatchParams(),
+) -> ScanMatchResult:
+    """Register a scan against the local map grid starting from init_pose.
+
+    scan_xyz: [N, 3] deskewed points in the *sensor* frame; init_pose [6]
+    rpyxyz mapping sensor -> map frame.
+    """
+    # |p|^(1/4) of the sensor-frame points (reference's weighting term).
+    scan_norm_quarter = jnp.sqrt(jnp.sqrt(jnp.linalg.norm(scan_xyz, axis=-1) + 1e-12))
+
+    def cond(state):
+        pose, P, degenerate, it, done = state
+        return (it < params.max_iters) & ~done
+
+    def body(state):
+        pose, P, degenerate, it, done = state
+        H, g, count = _build_system(
+            pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params
+        )
+        enough = count >= params.min_points
+
+        # Degeneracy analysis on the first iteration only (reference :1242).
+        def analyze(_):
+            lam, V = jnp.linalg.eigh(H)
+            good = lam >= params.eigen_thresh
+            P_new = (V * good[None, :].astype(H.dtype)) @ V.T
+            return P_new, ~jnp.all(good)
+
+        P, degenerate = jax.lax.cond(
+            it == 0, analyze, lambda _: (P, degenerate), None
+        )
+
+        damped = H + jnp.eye(6, dtype=H.dtype) * 1e-6
+        x = jnp.linalg.solve(damped, g)
+        x = jnp.where(degenerate, P @ x, x)
+        x = jnp.where(enough, x, jnp.zeros_like(x))
+
+        pose = pose + x
+        delta_rot = jnp.rad2deg(jnp.linalg.norm(x[:3]))
+        delta_trans = jnp.linalg.norm(x[3:]) * 100.0
+        converged = (delta_rot < params.conv_rot_deg) & (
+            delta_trans < params.conv_trans_cm
+        )
+        done = converged | ~enough
+        return pose, P, degenerate, it + 1, done
+
+    init = (
+        init_pose.astype(jnp.float32),
+        jnp.eye(6, dtype=jnp.float32),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+    )
+    pose, P, degenerate, iters, done = jax.lax.while_loop(cond, body, init)
+
+    # Final match count at the solution (for diagnostics / keyframe gating).
+    _, _, count = _build_system(
+        pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params
+    )
+    return ScanMatchResult(
+        pose=pose,
+        degenerate=degenerate,
+        converged=done & (count >= params.min_points),
+        iters=iters,
+        num_matched=count,
+    )

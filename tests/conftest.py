@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The environment's sitecustomize registers the remote-TPU ("axon") PJRT
+# plugin and force-sets jax_platforms at interpreter startup; the env var
+# alone cannot override it. Point the config back at CPU for tests.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)

@@ -1,0 +1,77 @@
+import jax.numpy as jnp
+import numpy as np
+
+from liorf_tpu.ops import knn
+
+
+def _brute_numpy(map_pts, queries, k):
+    d2 = ((queries[:, None, :] - map_pts[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, :k]
+    return np.take_along_axis(d2, idx, axis=1), idx
+
+
+def test_bruteforce_matches_numpy(rng):
+    map_pts = rng.uniform(-20, 20, size=(1000, 3)).astype(np.float32)
+    queries = rng.uniform(-20, 20, size=(128, 3)).astype(np.float32)
+    d2_ref, _ = _brute_numpy(map_pts, queries, 5)
+    d2, idx = knn.knn_bruteforce(
+        jnp.asarray(map_pts),
+        jnp.ones(1000, bool),
+        jnp.asarray(queries),
+        jnp.ones(128, bool),
+        k=5,
+        tile=256,
+    )
+    np.testing.assert_allclose(np.asarray(d2), d2_ref, atol=1e-3)
+
+
+def test_bruteforce_respects_masks(rng):
+    map_pts = rng.uniform(-5, 5, size=(64, 3)).astype(np.float32)
+    map_mask = np.zeros(64, bool)
+    map_mask[:10] = True
+    queries = map_pts[:4]
+    d2, idx = knn.knn_bruteforce(
+        jnp.asarray(map_pts), jnp.asarray(map_mask), jnp.asarray(queries),
+        jnp.ones(4, bool), k=3, tile=64,
+    )
+    assert np.all(np.asarray(idx) < 10)
+    np.testing.assert_allclose(np.asarray(d2)[:, 0], 0.0, atol=1e-4)
+
+
+def test_grid_matches_bruteforce_within_radius(rng):
+    # dense enough that all 5 NN are within one cell of each query
+    map_pts = rng.uniform(-10, 10, size=(4096, 3)).astype(np.float32)
+    queries = rng.uniform(-8, 8, size=(256, 3)).astype(np.float32)
+    origin = jnp.zeros(3, jnp.float32)
+    grid = knn.build_grid(jnp.asarray(map_pts), jnp.ones(4096, bool), origin, 1.0)
+    d2_g, idx_g = knn.knn_grid(grid, jnp.asarray(queries), jnp.ones(256, bool), k=5, bucket=32)
+    d2_b, _ = knn.knn_bruteforce(
+        jnp.asarray(map_pts), jnp.ones(4096, bool), jnp.asarray(queries),
+        jnp.ones(256, bool), k=5,
+    )
+    d2_g, d2_b = np.asarray(d2_g), np.asarray(d2_b)
+    # grid result is exact whenever the 5th true NN lies within the cell radius
+    within = d2_b[:, 4] < 1.0**2
+    np.testing.assert_allclose(d2_g[within], d2_b[within], atol=1e-3)
+    # and grid distances must match the gathered points exactly
+    gathered = np.asarray(grid.xyz)[np.asarray(idx_g)]
+    recomputed = ((gathered - queries[:, None, :]) ** 2).sum(-1)
+    finite = np.isfinite(d2_g)
+    np.testing.assert_allclose(d2_g[finite], recomputed[finite], atol=1e-3)
+
+
+def test_grid_handles_sparse_regions(rng):
+    # query far from any map point -> no neighbors
+    map_pts = rng.uniform(-1, 1, size=(128, 3)).astype(np.float32)
+    grid = knn.build_grid(
+        jnp.asarray(map_pts), jnp.ones(128, bool), jnp.zeros(3, jnp.float32), 1.0
+    )
+    q = jnp.asarray([[50.0, 50.0, 50.0]], dtype=jnp.float32)
+    d2, idx = knn.knn_grid(grid, q, jnp.ones(1, bool), k=5)
+    assert np.all(np.isinf(np.asarray(d2)))
+
+
+def test_radius_mask():
+    pts = jnp.asarray([[0, 0, 0], [3, 0, 0], [0, 10, 0]], dtype=jnp.float32)
+    m = knn.radius_mask(pts, jnp.ones(3, bool), jnp.zeros(3), 5.0)
+    assert np.asarray(m).tolist() == [True, True, False]
