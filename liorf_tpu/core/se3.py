@@ -234,13 +234,20 @@ def so3_log(R: jax.Array) -> jax.Array:
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
     w_skew = vee(R - jnp.swapaxes(R, -1, -2)) / 2.0  # = sin(theta) * axis
-    sin_theta = jnp.linalg.norm(w_skew, axis=-1)
+    # AD-safe norm: the sqrt argument is bounded away from 0 on the branch
+    # where it is actually used (double-where), so jacfwd stays finite at
+    # the identity rotation.
+    s2 = jnp.sum(w_skew * w_skew, axis=-1)
+    small_s = s2 < 1e-12
+    sin_theta = jnp.where(small_s, 0.0, jnp.sqrt(jnp.where(small_s, 1.0, s2)))
     theta = jnp.arctan2(sin_theta, cos_theta)
 
     small = theta < 1e-5
     near_pi = theta > jnp.pi - 1e-2
     safe_sin = jnp.where(sin_theta < _EPS, 1.0, sin_theta)
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / safe_sin)
+    # For tiny angles theta ~= sin(theta), so theta^2 ~= s2 and the Taylor
+    # scale 1 + theta^2/6 is expressed in s2 (differentiable everywhere).
+    scale = jnp.where(small, 1.0 + s2 / 6.0, theta / safe_sin)
     w_generic = w_skew * scale[..., None]
 
     # Near pi: M = (R + R^T)/2 - cos_theta I  ==  (1 - cos_theta) * a a^T.
@@ -248,9 +255,9 @@ def so3_log(R: jax.Array) -> jax.Array:
     eye = jnp.eye(3, dtype=R.dtype)
     M = B - cos_theta[..., None, None] * eye
     diag = jnp.stack([M[..., 0, 0], M[..., 1, 1], M[..., 2, 2]], axis=-1)
-    axis_abs = jnp.sqrt(
-        jnp.maximum(diag / jnp.maximum(1.0 - cos_theta[..., None], _EPS), 0.0)
-    )
+    axis2 = diag / jnp.maximum(1.0 - cos_theta[..., None], _EPS)
+    pos = axis2 > 1e-12
+    axis_abs = jnp.where(pos, jnp.sqrt(jnp.where(pos, axis2, 1.0)), 0.0)
     # Signs: let r = argmax |a_i| (via diag of M). sign(M[r, i]) = sign(a_r a_i)
     # and sign(a_r) = sign(w_skew[r]) (sin > 0 for theta in (0, pi)), so
     # sign(a_i) = sign(M[r, i]) * sign(w_skew[r]).
@@ -262,7 +269,9 @@ def so3_log(R: jax.Array) -> jax.Array:
     sign_r = jnp.where(skew_r >= 0, 1.0, -1.0)
     signs = jnp.where(row_r >= 0, 1.0, -1.0) * sign_r[..., None]
     axis = axis_abs * signs
-    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), _EPS)
+    a2 = jnp.sum(axis * axis, axis=-1, keepdims=True)
+    a_pos = a2 > 1e-12
+    axis = axis / jnp.where(a_pos, jnp.sqrt(jnp.where(a_pos, a2, 1.0)), 1.0)
     w_pi = axis * theta[..., None]
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 

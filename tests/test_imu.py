@@ -1,0 +1,193 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from liorf_tpu.core import se3
+from liorf_tpu.imu import fusion, preintegration
+from liorf_tpu.imu.preintegration import ImuParams, NavState
+
+
+PARAMS = ImuParams()
+G = jnp.asarray([0.0, 0.0, -PARAMS.gravity])
+
+
+def simulate_imu(n, dt, traj_fn, rng=None, noise=0.0):
+    """Generate perfect IMU measurements for a trajectory R(t), p(t).
+
+    acc_meas = R^T (a_world - g_world); gyr_meas = body rates.
+    Uses numeric differentiation at high precision.
+    """
+    ts = np.arange(n + 1) * dt
+    Rs, ps = [], []
+    for t in ts:
+        R, p = traj_fn(t)
+        Rs.append(R)
+        ps.append(p)
+    Rs, ps = np.stack(Rs), np.stack(ps)
+    acc_w = np.gradient(np.gradient(ps, dt, axis=0), dt, axis=0)
+    gyr, acc = [], []
+    for i in range(n):
+        dRot = Rs[i].T @ Rs[i + 1]
+        w = np.asarray(se3.so3_log(jnp.asarray(dRot, jnp.float32))) / dt
+        gyr.append(w)
+        acc.append(Rs[i].T @ (acc_w[i] - np.array([0, 0, -PARAMS.gravity])))
+    out_gyr, out_acc = np.stack(gyr), np.stack(acc)
+    if noise and rng is not None:
+        out_gyr = out_gyr + rng.normal(scale=noise, size=out_gyr.shape)
+        out_acc = out_acc + rng.normal(scale=noise, size=out_acc.shape)
+    return (
+        jnp.asarray(out_acc, jnp.float32),
+        jnp.asarray(out_gyr, jnp.float32),
+        Rs,
+        ps,
+    )
+
+
+def circle_traj(t):
+    """Constant-speed circle with yaw following the tangent."""
+    w = 0.5  # rad/s
+    r = 4.0
+    yaw = w * t
+    R = np.asarray(se3.euler_to_rot(jnp.asarray([0.0, 0.0, yaw], jnp.float32)))
+    p = np.array([r * np.sin(yaw), r * (1 - np.cos(yaw)), 0.0])
+    return R, p
+
+
+def test_preintegration_matches_direct_integration():
+    n, dt = 64, 0.005
+    acc, gyr, Rs, ps = simulate_imu(n, dt, circle_traj)
+    dts = jnp.full((n,), dt, jnp.float32)
+    pre = preintegration.preintegrate(
+        acc, gyr, dts, jnp.ones(n, bool), jnp.zeros(3), jnp.zeros(3), PARAMS
+    )
+    # initial velocity of the circle trajectory
+    v0 = (ps[1] - ps[0]) / dt
+    state0 = NavState(
+        R=jnp.asarray(Rs[0], jnp.float32),
+        p=jnp.asarray(ps[0], jnp.float32),
+        v=jnp.asarray(v0, jnp.float32),
+    )
+    out = preintegration.predict(state0, pre, jnp.zeros(3), jnp.zeros(3), PARAMS)
+    np.testing.assert_allclose(np.asarray(out.p), ps[n], atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out.R), Rs[n], atol=1e-3)
+
+
+def test_preintegration_mask():
+    n = 32
+    acc = jnp.tile(jnp.asarray([[0.0, 0.0, PARAMS.gravity]]), (n, 1))
+    gyr = jnp.zeros((n, 3))
+    dts = jnp.full((n,), 0.01)
+    mask = jnp.arange(n) < 16
+    pre = preintegration.preintegrate(
+        acc, gyr, dts, mask, jnp.zeros(3), jnp.zeros(3), PARAMS
+    )
+    np.testing.assert_allclose(float(pre.dt), 0.16, atol=1e-6)
+
+
+def test_residual_zero_on_truth():
+    n, dt = 64, 0.005
+    acc, gyr, Rs, ps = simulate_imu(n, dt, circle_traj)
+    dts = jnp.full((n,), dt, jnp.float32)
+    pre = preintegration.preintegrate(
+        acc, gyr, dts, jnp.ones(n, bool), jnp.zeros(3), jnp.zeros(3), PARAMS
+    )
+    v0 = (ps[1] - ps[0]) / dt
+    vn = (ps[n] - ps[n - 1]) / dt
+    si = NavState(
+        R=jnp.asarray(Rs[0], jnp.float32),
+        p=jnp.asarray(ps[0], jnp.float32),
+        v=jnp.asarray(v0, jnp.float32),
+    )
+    sj = NavState(
+        R=jnp.asarray(Rs[n], jnp.float32),
+        p=jnp.asarray(ps[n], jnp.float32),
+        v=jnp.asarray(vn, jnp.float32),
+    )
+    r = preintegration.residual(si, sj, jnp.zeros(3), jnp.zeros(3), pre, PARAMS)
+    assert np.abs(np.asarray(r)).max() < 5e-2
+
+
+def test_bias_jacobian_first_order():
+    n, dt = 32, 0.005
+    acc, gyr, _, _ = simulate_imu(n, dt, circle_traj)
+    dts = jnp.full((n,), dt, jnp.float32)
+    db = jnp.asarray([0.01, -0.02, 0.015])
+    pre0 = preintegration.preintegrate(
+        acc, gyr, dts, jnp.ones(n, bool), jnp.zeros(3), jnp.zeros(3), PARAMS
+    )
+    pre1 = preintegration.preintegrate(
+        acc, gyr, dts, jnp.ones(n, bool), db, db, PARAMS
+    )
+    # corrected deltas at bias db from pre0 should match pre1's raw deltas
+    dR, dv, dp = preintegration.bias_corrected_deltas(pre0, db, db)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(pre1.dv), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(pre1.dp), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dR), np.asarray(pre1.dR), atol=2e-4)
+
+
+def test_fusion_tracks_and_estimates_bias(rng):
+    """Feed fusion a biased-gyro IMU stream + perfect lidar poses; it should
+    track the trajectory and recover the bias."""
+    fp = fusion.FusionParams()
+    n_steps, imu_per_step, dt = 30, 20, 0.005
+    true_bg = np.array([0.02, -0.01, 0.03], np.float32)
+
+    total = n_steps * imu_per_step
+    acc, gyr, Rs, ps = simulate_imu(total, dt, circle_traj, rng=rng, noise=1e-4)
+    gyr_meas = gyr + jnp.asarray(true_bg)
+
+    filt = fusion.init_filter(
+        jnp.asarray(Rs[0], jnp.float32), jnp.asarray(ps[0], jnp.float32), fp
+    )
+    dts = jnp.full((imu_per_step,), dt, jnp.float32)
+    for k in range(n_steps):
+        s = slice(k * imu_per_step, (k + 1) * imu_per_step)
+        pre = preintegration.preintegrate(
+            acc[s], gyr_meas[s], dts, jnp.ones(imu_per_step, bool),
+            filt.mean.ba, filt.mean.bg, fp.imu,
+        )
+        step = fusion.fusion_step(
+            filt, pre,
+            jnp.asarray(Rs[(k + 1) * imu_per_step], jnp.float32),
+            jnp.asarray(ps[(k + 1) * imu_per_step], jnp.float32),
+            jnp.asarray(False),
+            fp,
+        )
+        assert not bool(step.diverged), f"diverged at step {k}"
+        filt = step.filter
+
+    end = n_steps * imu_per_step
+    np.testing.assert_allclose(np.asarray(filt.mean.p), ps[end], atol=0.15)
+    v_true = (ps[end] - ps[end - 1]) / dt
+    np.testing.assert_allclose(np.asarray(filt.mean.v), v_true, atol=0.15)
+    np.testing.assert_allclose(np.asarray(filt.mean.bg), true_bg, atol=5e-3)
+
+
+def test_fusion_divergence_flag(rng):
+    fp = fusion.FusionParams()
+    filt = fusion.init_filter(jnp.eye(3), jnp.zeros(3), fp)
+    n = 16
+    # absurd accelerations -> runaway velocity against a e lidar prior far away
+    acc = jnp.full((n, 3), 500.0)
+    gyr = jnp.zeros((n, 3))
+    dts = jnp.full((n,), 0.05)
+    pre = preintegration.preintegrate(
+        acc, gyr, dts, jnp.ones(n, bool), filt.mean.ba, filt.mean.bg, fp.imu
+    )
+    step = fusion.fusion_step(
+        filt, pre, jnp.eye(3), jnp.zeros(3) + 1000.0, jnp.asarray(False), fp
+    )
+    assert bool(step.diverged)
+
+
+def test_predict_poses_gravity_cancel():
+    st = fusion.FusionState(
+        R=jnp.eye(3), p=jnp.zeros(3), v=jnp.asarray([1.0, 0.0, 0.0]),
+        ba=jnp.zeros(3), bg=jnp.zeros(3),
+    )
+    n = 10
+    acc = jnp.tile(jnp.asarray([[0.0, 0.0, PARAMS.gravity]]), (n, 1))
+    gyr = jnp.zeros((n, 3))
+    dts = jnp.full((n,), 0.01)
+    Rs, ps = fusion.predict_poses(st, acc, gyr, dts, jnp.ones(n, bool))
+    np.testing.assert_allclose(np.asarray(ps)[-1], [0.1, 0.0, 0.0], atol=1e-5)
