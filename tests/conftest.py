@@ -10,6 +10,10 @@ coarse for geometry/normal-equation math).
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# silence the spurious XLA:CPU AOT "machine feature" warnings triggered by
+# pseudo-features (prefer-no-scatter/gather) the TPU plugin registration bakes
+# into locally-written cache entries
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
