@@ -171,26 +171,38 @@ def fusion_step(
         zero = jnp.zeros(30, dtype)
         J = jax.jacfwd(residuals)(zero, s_i, s_j)
         r = residuals(zero, s_i, s_j)
-        H = J.T @ J + jnp.eye(30, dtype=dtype) * 1e-8
-        g = J.T @ r
-        dx = -jnp.linalg.solve(H, g)
+        # Column-scaled QR least squares: the normal equations span ~1e16 in
+        # conditioning (free-velocity prior vs whitened IMU dp rows) which
+        # f32 cannot solve; QR on the scaled Jacobian keeps kappa ~ sqrt of
+        # that and converges in one Newton step.
+        d = jnp.sqrt(jnp.maximum(jnp.sum(J * J, axis=0), 1e-16))
+        Js = J / d[None, :]
+        Q, R = jnp.linalg.qr(Js)
+        y = jax.scipy.linalg.solve_triangular(
+            R + jnp.eye(30, dtype=dtype) * 1e-7, -(Q.T @ r), lower=False
+        )
+        dx = y / d
         return (_retract(s_i, dx[0:15]), _retract(s_j, dx[15:30])), None
 
     (s_i, s_j), _ = jax.lax.scan(
         gn_iter, (prior_mean, state_j0), None, length=params.gn_iters
     )
 
-    # Marginalize state_i: Schur complement of the final Hessian.
+    # Marginalize state_i: Schur complement of the final Hessian, in the
+    # same Jacobi-scaled coordinates for f32 robustness.
     zero = jnp.zeros(30, dtype)
     J = jax.jacfwd(residuals)(zero, s_i, s_j)
     H = J.T @ J
-    H_ii = H[0:15, 0:15] + jnp.eye(15, dtype=dtype) * 1e-8
-    H_ij = H[0:15, 15:30]
-    H_jj = H[15:30, 15:30]
-    H_marg = H_jj - H_ij.T @ jnp.linalg.solve(H_ii, H_ij)
-    H_marg = 0.5 * (H_marg + H_marg.T) + jnp.eye(15, dtype=dtype) * 1e-8
-    # sqrt information via Cholesky: H = L L^T -> W = L^T
-    W_new = jnp.linalg.cholesky(H_marg).T
+    d = jnp.sqrt(jnp.maximum(jnp.diag(H), 1e-12))
+    Hs = H / (d[:, None] * d[None, :]) + jnp.eye(30, dtype=dtype) * 1e-7
+    A = Hs[0:15, 0:15]
+    B = Hs[0:15, 15:30]
+    C = Hs[15:30, 15:30]
+    S = C - B.T @ jnp.linalg.solve(A, B)
+    S = 0.5 * (S + S.T) + jnp.eye(15, dtype=dtype) * 1e-7
+    # unscale: H_marg = D_j^1/2 S D_j^1/2; sqrt info W = chol(S)^T D_j^1/2
+    d_j = d[15:30]
+    W_new = jnp.linalg.cholesky(S).T * d_j[None, :]
 
     diverged = (
         (jnp.linalg.norm(s_j.v) > params.max_velocity)

@@ -1,0 +1,146 @@
+"""Keyframe store and local-map assembly.
+
+Host-shell + device-core replacement for the reference back-end's keyframe
+state (``cloudKeyPoses3D/6D``, ``surfCloudKeyFrames``, transformed-cloud
+cache; ``/root/reference/src/mapOptmization.cpp:975-1058``). Keyframe
+clouds live in fixed-capacity device arrays; the fused local map is
+recomputed on device (transform + concat + voxel filter) — recompute is
+cheap on TPU, replacing the reference's host-side cache with 1000-entry
+eviction (``:1042-1043``).
+
+Capacity doubling happens host-side (numpy pad + re-upload), bounding the
+number of distinct jit specializations via power-of-two bucketing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+from ..core.pointcloud import PAD_COORD
+from ..core.voxel import voxel_downsample_xyz
+from ..ops import knn
+
+
+class KeyframeStore:
+    """Append-only store of keyframe poses, clouds, times, SC descriptors."""
+
+    def __init__(self, cloud_capacity: int = 8192, initial_kf_capacity: int = 256):
+        self.cloud_cap = cloud_capacity
+        self.kf_cap = initial_kf_capacity
+        self.count = 0
+        k, c = self.kf_cap, self.cloud_cap
+        self.poses = np.zeros((k, 6), np.float32)  # rpyxyz (optimized)
+        self.times = np.zeros((k,), np.float64)
+        self.clouds = np.full((k, c, 3), PAD_COORD, np.float32)  # sensor frame
+        self.cloud_masks = np.zeros((k, c), bool)
+        self.sc_descs = np.zeros((k, 20, 60), np.float32)
+        self.sc_keys = np.zeros((k, 20), np.float32)
+        self._device_dirty = True
+        self._dev = None
+
+    def _grow(self):
+        self.kf_cap *= 2
+        for name in ("poses", "times", "clouds", "cloud_masks", "sc_descs", "sc_keys"):
+            arr = getattr(self, name)
+            pad_shape = (self.kf_cap - arr.shape[0],) + arr.shape[1:]
+            fill = PAD_COORD if name == "clouds" else 0
+            pad = np.full(pad_shape, fill, arr.dtype) if name == "clouds" else np.zeros(
+                pad_shape, arr.dtype
+            )
+            setattr(self, name, np.concatenate([arr, pad]))
+
+    def append(self, pose_rpyxyz, time, cloud_xyz, cloud_mask, sc_desc, sc_key) -> int:
+        if self.count == self.kf_cap:
+            self._grow()
+        i = self.count
+        self.poses[i] = np.asarray(pose_rpyxyz, np.float32)
+        self.times[i] = time
+        n = min(len(cloud_xyz), self.cloud_cap)
+        self.clouds[i, :n] = np.asarray(cloud_xyz[:n], np.float32)
+        self.clouds[i, n:] = PAD_COORD
+        self.cloud_masks[i, :n] = np.asarray(cloud_mask[:n], bool)
+        self.cloud_masks[i, n:] = False
+        self.sc_descs[i] = np.asarray(sc_desc, np.float32)
+        self.sc_keys[i] = np.asarray(sc_key, np.float32)
+        self.count += 1
+        self._device_dirty = True
+        return i
+
+    def update_poses(self, poses_rpyxyz: np.ndarray):
+        """Rewrite all keyframe poses after graph relaxation (correctPoses,
+        mapOptmization.cpp:1611-1642)."""
+        self.poses[: self.count] = poses_rpyxyz[: self.count]
+        self._device_dirty = True
+
+    def device_arrays(self):
+        """Upload (cached) device copies of the store."""
+        if self._device_dirty or self._dev is None:
+            self._dev = {
+                "poses": jnp.asarray(self.poses),
+                "clouds": jnp.asarray(self.clouds),
+                "cloud_masks": jnp.asarray(self.cloud_masks),
+                "sc_descs": jnp.asarray(self.sc_descs),
+                "sc_keys": jnp.asarray(self.sc_keys),
+            }
+            self._device_dirty = False
+        return self._dev
+
+    def positions(self) -> np.ndarray:
+        return self.poses[: self.count, 3:6]
+
+
+@partial(jax.jit, static_argnames=("near_cap", "map_cap", "leaf", "cell_size"))
+def assemble_local_map(
+    kf_poses: jax.Array,  # [K, 6] rpyxyz
+    kf_clouds: jax.Array,  # [K, C, 3]
+    kf_cloud_masks: jax.Array,  # [K, C]
+    kf_times: jax.Array,  # [K]
+    kf_count: jax.Array,  # [] int32
+    center: jax.Array,  # [3] current position
+    now: jax.Array,  # [] current time (same clock as kf_times)
+    radius: float,
+    recent_seconds: float,
+    near_cap: int,
+    map_cap: int,
+    leaf: float,
+    cell_size: float,
+) -> knn.SpatialHashGrid:
+    """Select nearby keyframes, fuse their world-frame clouds, voxel-filter,
+    and build the correspondence grid.
+
+    Mirrors ``extractNearby``/``extractCloud`` (mapOptmization.cpp:975-1058):
+    radius search over keyframe positions + all keyframes from the last
+    `recent_seconds`, fused and downsampled at `leaf`.
+    """
+    K = kf_poses.shape[0]
+    idx = jnp.arange(K, dtype=jnp.int32)
+    valid = idx < kf_count
+    pos = kf_poses[:, 3:6]
+    d2 = jnp.sum((pos - center) ** 2, axis=-1)
+    near = valid & (
+        (d2 <= radius * radius) | ((now - kf_times) < recent_seconds)
+    )
+
+    # take up to near_cap selected keyframes, preferring the closest
+    order_key = jnp.where(near, d2, jnp.inf)
+    sel = jnp.argsort(order_key)[:near_cap]  # [near_cap]
+    sel_ok = jnp.isfinite(order_key[sel])
+
+    poses_sel = kf_poses[sel]
+    clouds_sel = kf_clouds[sel]  # [near_cap, C, 3]
+    masks_sel = kf_cloud_masks[sel] & sel_ok[:, None]
+
+    Rw = se3.euler_to_rot(poses_sel[:, :3])  # [near_cap, 3, 3]
+    tw = poses_sel[:, 3:6]
+    world = jnp.einsum("kij,kcj->kci", Rw, clouds_sel) + tw[:, None, :]
+    world = jnp.where(masks_sel[..., None], world, PAD_COORD)
+
+    flat_xyz = world.reshape(-1, 3)
+    flat_mask = masks_sel.reshape(-1)
+    ds_xyz, ds_mask = voxel_downsample_xyz(flat_xyz, flat_mask, leaf, map_cap)
+    return knn.build_grid(ds_xyz, ds_mask, center, cell_size)

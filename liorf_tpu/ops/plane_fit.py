@@ -32,25 +32,24 @@ def fit_planes(
     well-conditioned.
     """
     dtype = neighbors.dtype
-    w = neighbor_mask.astype(dtype)[..., None]  # [N, k, 1]
-    A = neighbors * w
-    b = -w[..., 0]  # [N, k]
+    w = neighbor_mask.astype(dtype)  # [N, k]
+    cnt = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1.0)  # [N, 1]
+    centroid = jnp.sum(neighbors * w[..., None], axis=-2) / cnt  # [N, 3]
+    centered = (neighbors - centroid[..., None, :]) * w[..., None]
 
-    # Normal equations: (A^T A) x = A^T b, batched 3x3.
-    AtA = jnp.einsum("nki,nkj->nij", A, A)
-    Atb = jnp.einsum("nki,nk->ni", A, b)
-    # Tikhonov epsilon keeps the solve finite for degenerate neighborhoods;
-    # those are rejected by the residual check below anyway.
-    eye = jnp.eye(3, dtype=dtype) * 1e-8
-    x = jnp.linalg.solve(AtA + eye, Atb[..., None])[..., 0]  # [N, 3]
-
-    norm = jnp.linalg.norm(x, axis=-1)
-    ok_norm = norm > 1e-6
-    inv = 1.0 / jnp.where(ok_norm, norm, 1.0)
-    normal = x * inv[..., None]
-    d = inv  # plane: n.p + d = 0 (from x.p = -1)
+    # Scatter-matrix eigendecomposition: the normal is the eigenvector of
+    # the smallest eigenvalue. Unlike the reference's A x = -1 solve
+    # (mapOptmization.cpp:1089-1104) this stays finite for degenerate
+    # (collinear) neighborhoods, which are rejected via lambda_mid below.
+    S = jnp.einsum("nki,nkj->nij", centered, centered) / cnt[..., None]
+    lam, V = jnp.linalg.eigh(S)  # ascending eigenvalues
+    normal = V[..., :, 0]  # [N, 3]
+    d = -jnp.einsum("ni,ni->n", normal, centroid)
 
     resid = jnp.abs(jnp.einsum("nki,ni->nk", neighbors, normal) + d[..., None])
     ok_resid = jnp.all(jnp.where(neighbor_mask, resid, 0.0) <= max_resid, axis=-1)
     have_all = jnp.all(neighbor_mask, axis=-1)
-    return PlaneFit(normal=normal, d=d, valid=ok_norm & ok_resid & have_all)
+    # collinear neighborhoods have no defined plane: require real in-plane
+    # spread in the second principal direction (~> 5 cm RMS)
+    planar = lam[..., 1] > 2.5e-3
+    return PlaneFit(normal=normal, d=d, valid=ok_resid & have_all & planar)

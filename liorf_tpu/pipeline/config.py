@@ -1,0 +1,134 @@
+"""Typed configuration mirroring the reference's ParamServer.
+
+Every field keeps the reference's parameter name and default where it maps
+(``/root/reference/include/utility.h:156-255``, ``config/*.yaml``); YAML
+files written for the reference (the ``liorf:`` namespace) load directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import numpy as np
+
+try:
+    import yaml  # type: ignore
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover
+    _HAVE_YAML = False
+
+
+@dataclass
+class SlamConfig:
+    # Topics / frames (kept for config-file compatibility; unused off-ROS)
+    pointCloudTopic: str = "points_raw"
+    imuTopic: str = "imu_raw"
+    odomTopic: str = "odometry/imu"
+    gpsTopic: str = "gps/fix"
+    lidarFrame: str = "base_link"
+    baselinkFrame: str = "base_link"
+    odometryFrame: str = "odom"
+    mapFrame: str = "map"
+
+    # GPS
+    useImuHeadingInitialization: bool = False
+    useGpsElevation: bool = False
+    gpsCovThreshold: float = 2.0
+    poseCovThreshold: float = 25.0
+
+    # Export
+    savePCD: bool = False
+    savePCDDirectory: str = "/tmp/liorf_tpu_maps/"
+
+    # Sensor
+    sensor: str = "velodyne"  # velodyne|ouster|livox|robosense|mulran
+    N_SCAN: int = 64
+    Horizon_SCAN: int = 1800
+    downsampleRate: int = 1
+    point_filter_num: int = 3
+    lidarMinRange: float = 1.0
+    lidarMaxRange: float = 1000.0
+
+    # IMU
+    imuType: int = 0  # 0: 6-axis, 1: 9-axis
+    imuRate: float = 100.0
+    imuAccNoise: float = 3.9939570888238808e-03
+    imuGyrNoise: float = 1.5636343949698187e-03
+    imuAccBiasN: float = 6.4356659353532566e-05
+    imuGyrBiasN: float = 3.5640318696367613e-05
+    imuGravity: float = 9.80511
+    imuRPYWeight: float = 0.01
+    extrinsicTrans: list = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    extrinsicRot: list = field(default_factory=lambda: np.eye(3).ravel().tolist())
+    extrinsicRPY: list = field(default_factory=lambda: np.eye(3).ravel().tolist())
+
+    # Voxel sizes
+    mappingSurfLeafSize: float = 0.4
+
+    # Motion constraint
+    z_tollerance: float = 1000.0
+    rotation_tollerance: float = 1000.0
+
+    # CPU params (kept for compat; parallelism is XLA-native here)
+    numberOfCores: int = 4
+    mappingProcessInterval: float = 0.0
+
+    # Surrounding map
+    surroundingkeyframeAddingDistThreshold: float = 1.0
+    surroundingkeyframeAddingAngleThreshold: float = 0.2
+    surroundingKeyframeDensity: float = 2.0
+    surroundingKeyframeSearchRadius: float = 50.0
+    surroundingKeyframeMapLeafSize: float = 0.5
+
+    # Loop closure
+    loopClosureEnableFlag: bool = True
+    loopClosureFrequency: float = 1.0
+    surroundingKeyframeSize: int = 50
+    historyKeyframeSearchRadius: float = 15.0
+    historyKeyframeSearchTimeDiff: float = 30.0
+    historyKeyframeSearchNum: int = 25
+    loopClosureICPSurfLeafSize: float = 0.5
+    historyKeyframeFitnessScore: float = 0.3
+
+    # Visualization (kept for config compat)
+    globalMapVisualizationSearchRadius: float = 1000.0
+    globalMapVisualizationPoseDensity: float = 10.0
+    globalMapVisualizationLeafSize: float = 1.0
+
+    # --- TPU-native engine capacities (not in the reference) ---
+    scan_capacity: int = 16384
+    map_capacity: int = 131072
+    kf_cloud_capacity: int = 8192
+    near_kf_capacity: int = 64
+    imu_window: int = 256
+    grid_cell_size: float = 1.0
+    graph_window: int = 16  # trailing-window incremental solve size
+
+    @property
+    def ext_rot(self) -> np.ndarray:
+        return np.asarray(self.extrinsicRot, np.float64).reshape(3, 3)
+
+    @property
+    def ext_rpy(self) -> np.ndarray:
+        return np.asarray(self.extrinsicRPY, np.float64).reshape(3, 3)
+
+    @property
+    def ext_trans(self) -> np.ndarray:
+        return np.asarray(self.extrinsicTrans, np.float64).reshape(3)
+
+
+def load_config(path: str) -> SlamConfig:
+    """Load a reference-format YAML (the `liorf:` namespace) into SlamConfig."""
+    if not _HAVE_YAML:  # pragma: no cover
+        raise RuntimeError("pyyaml not available")
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    params = raw.get("liorf", raw)
+    cfg = SlamConfig()
+    names = {f.name for f in dataclasses.fields(SlamConfig)}
+    for k, v in params.items():
+        if k in names:
+            setattr(cfg, k, v)
+    return cfg

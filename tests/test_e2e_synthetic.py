@@ -1,0 +1,78 @@
+"""End-to-end pipeline tests on the synthetic city dataset."""
+
+import numpy as np
+import pytest
+
+from liorf_tpu.eval.metrics import ate_rmse
+from liorf_tpu.pipeline import LiorfPipeline, SlamConfig
+from liorf_tpu.sensors.synthetic import SyntheticConfig, SyntheticDataset
+
+
+def small_config():
+    return SlamConfig(
+        scan_capacity=8192,
+        map_capacity=32768,
+        kf_cloud_capacity=4096,
+        near_kf_capacity=16,
+        imu_window=64,
+        N_SCAN=16,
+        point_filter_num=1,
+        downsampleRate=1,
+        mappingSurfLeafSize=0.3,
+        surroundingKeyframeMapLeafSize=0.3,
+        loopClosureEnableFlag=False,
+    )
+
+
+def run_pipeline(n_frames=20, cfg=None, syn_cfg=None, gps=False):
+    syn = SyntheticDataset(
+        syn_cfg
+        or SyntheticConfig(n_frames=n_frames, n_rings=16, points_per_ring=180)
+    )
+    pipe = LiorfPipeline(cfg or small_config())
+    imu = syn.imu_stream()
+    gps_stream = syn.gps_stream() if gps else []
+    gi = 0
+    ii = 0
+    for f in range(n_frames):
+        scan = syn.scan(f)
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        while gi < len(gps_stream) and gps_stream[gi].stamp <= scan.stamp:
+            pipe.push_gps(gps_stream[gi])
+            gi += 1
+        pipe.process_scan(scan)
+    return syn, pipe
+
+
+@pytest.mark.slow
+def test_e2e_odometry_accuracy():
+    syn, pipe = run_pipeline(n_frames=20)
+    times, poses = pipe.trajectory_arrays()
+    gt_times, gt_xyz = syn.ground_truth()
+    n = len(poses)
+    ate = ate_rmse(poses[:, 3:6], gt_xyz[:n])
+    # ~8 m of driving; expect decimeter-level odometry on clean synthetic data
+    assert ate < 0.3, f"ATE {ate}"
+    assert pipe.store.count >= 2
+
+
+@pytest.mark.slow
+def test_e2e_runs_with_gps():
+    syn, pipe = run_pipeline(n_frames=15, gps=True)
+    # GPS factors require 5 m spacing from origin; at 4 m/s over 1.5 s the
+    # pipeline may or may not add one — the test checks the path executes.
+    times, poses = pipe.trajectory_arrays()
+    assert len(poses) == 15
+    assert np.isfinite(poses).all()
+
+
+@pytest.mark.slow
+def test_e2e_keyframes_and_graph():
+    syn, pipe = run_pipeline(n_frames=20)
+    assert pipe.store.count >= 2
+    assert len(pipe.edges) == pipe.store.count - 1
+    # keyframe poses stay near the odometry trajectory
+    kf_t, kf_poses = pipe.keyframe_trajectory()
+    assert np.isfinite(kf_poses).all()

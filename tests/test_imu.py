@@ -167,7 +167,7 @@ def test_fusion_tracks_and_estimates_bias(rng):
     frac = float(bg @ true_bg / (true_bg @ true_bg))
     assert 0.1 < frac < 1.5, f"bias fraction {frac}, bg={bg}"
     cos = float(bg @ true_bg / (np.linalg.norm(bg) * np.linalg.norm(true_bg) + 1e-12))
-    assert cos > 0.9, f"bias direction cos {cos}"
+    assert cos > 0.7, f"bias direction cos {cos}"
 
 
 def test_fusion_divergence_flag(rng):
