@@ -1,0 +1,134 @@
+"""Benchmark: end-to-end SLAM throughput on one chip.
+
+Runs the full pipeline (deskew -> scan-to-map GN -> IMU fusion -> keyframe
+pose graph) over a synthetic city sequence and reports sustained scans/sec
+against the reference's real-time operating point (10 Hz lidar — LIO-SAM's
+"up to 10x faster than real-time" claim is relative to the same 10 Hz,
+/root/reference/README.md:170).
+
+Prints ONE JSON line:
+  {"metric": "scans_per_sec", "value": N, "unit": "scans/s",
+   "vs_baseline": N / 10.0, ...extras}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _setup_jax():
+    import jax
+
+    # honor an explicit JAX_PLATFORMS request — the environment's TPU plugin
+    # force-overrides the env var at interpreter startup, so re-assert it
+    if os.environ.get("JAX_PLATFORMS") and "axon" not in os.environ["JAX_PLATFORMS"]:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_default_matmul_precision", "highest")
+    plat = "axon" if any("axon" in str(d).lower() or "tpu" in str(d).lower()
+                         for d in _safe_devices(jax)) else "cpu"
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache", plat)
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    return jax
+
+
+def _safe_devices(jax):
+    try:
+        return jax.devices()
+    except Exception:
+        return []
+
+
+def _dataset(n_frames: int, rings: int, ppr: int):
+    """Generate (and cache) the synthetic sequence."""
+    from liorf_tpu.sensors.synthetic import SyntheticConfig, SyntheticDataset
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    key = f"seq_f{n_frames}_r{rings}_p{ppr}_v2.npz"
+    path = os.path.join(cache_dir, key)
+    cfg = SyntheticConfig(n_frames=n_frames, n_rings=rings, points_per_ring=ppr)
+    syn = SyntheticDataset(cfg)
+    if os.path.exists(path):
+        data = np.load(path, allow_pickle=True)
+        scans = data["scans"].tolist()
+        imu = data["imu"].tolist()
+        gt = data["gt"]
+    else:
+        scans = [syn.scan(f) for f in range(n_frames)]
+        imu = syn.imu_stream()
+        _, gt = syn.ground_truth()
+        np.savez(
+            path,
+            scans=np.asarray(scans, dtype=object),
+            imu=np.asarray(imu, dtype=object),
+            gt=gt,
+        )
+    return scans, imu, gt
+
+
+def main():
+    n_frames = int(os.environ.get("BENCH_FRAMES", "80"))
+    rings = int(os.environ.get("BENCH_RINGS", "32"))
+    ppr = int(os.environ.get("BENCH_PPR", "900"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "12"))
+
+    jax = _setup_jax()
+    from liorf_tpu.eval.metrics import ate_rmse
+    from liorf_tpu.pipeline import LiorfPipeline, SlamConfig
+
+    scans, imu, gt = _dataset(n_frames, rings, ppr)
+
+    cfg = SlamConfig(
+        scan_capacity=16384,
+        map_capacity=131072,
+        kf_cloud_capacity=8192,
+        near_kf_capacity=32,
+        imu_window=64,
+        point_filter_num=1,
+        downsampleRate=1,
+        mappingSurfLeafSize=0.3,
+        surroundingKeyframeMapLeafSize=0.3,
+        loopClosureEnableFlag=False,
+    )
+    pipe = LiorfPipeline(cfg)
+
+    ii = 0
+    t_start = None
+    for f, scan in enumerate(scans):
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        if f == warmup:
+            t_start = time.perf_counter()
+        pipe.process_scan(scan)
+    elapsed = time.perf_counter() - t_start
+    n_timed = n_frames - warmup
+    sps = n_timed / elapsed
+
+    _, poses = pipe.trajectory_arrays()
+    ate = ate_rmse(poses[:, 3:6], gt[: len(poses)])
+
+    print(
+        json.dumps(
+            {
+                "metric": "scans_per_sec",
+                "value": round(sps, 3),
+                "unit": "scans/s",
+                "vs_baseline": round(sps / 10.0, 3),
+                "ate_rmse_m": round(float(ate), 4),
+                "frames": n_timed,
+                "points_per_scan": int(np.mean([len(s.xyz) for s in scans])),
+                "backend": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
