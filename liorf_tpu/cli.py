@@ -1,0 +1,140 @@
+"""Command-line interface: run SLAM over a dataset, export trajectory + maps.
+
+The off-ROS equivalent of ``roslaunch liorf run_*.launch`` + ``rosbag play``
++ the save_map service. Examples:
+
+    python -m liorf_tpu.cli run --dataset synthetic --frames 100 --out /tmp/out
+    python -m liorf_tpu.cli run --dataset kitti --root /data/2011_09_30_drive_0018_sync \
+        --config configs/kitti.yaml --gps --out /tmp/kitti_out
+    python -m liorf_tpu.cli eval --est /tmp/out/trajectory_tum.txt --gt gt_tum.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _make_dataset(args):
+    if args.dataset == "synthetic":
+        from .sensors.synthetic import SyntheticConfig, SyntheticDataset
+
+        syn = SyntheticDataset(SyntheticConfig(n_frames=args.frames))
+        return syn, syn.imu_stream(), syn.gps_stream() if args.gps else []
+    if args.dataset == "kitti":
+        from .sensors.kitti import KittiRawDataset
+
+        ds = KittiRawDataset(args.root)
+        return ds, ds.imu_stream(), ds.gps_stream() if args.gps else []
+    if args.dataset == "mulran":
+        from .sensors.mulran import MulranDataset
+
+        ds = MulranDataset(args.root)
+        return ds, ds.imu_stream(), ds.gps_stream() if args.gps else []
+    raise SystemExit(f"unknown dataset {args.dataset}")
+
+
+def cmd_run(args):
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") and "axon" not in os.environ["JAX_PLATFORMS"]:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from .mapping.export import save_checkpoint, save_map
+    from .pipeline import LiorfPipeline, SlamConfig, load_config
+
+    cfg = load_config(args.config) if args.config else SlamConfig()
+    pipe = LiorfPipeline(cfg)
+
+    ds, imu, gps = _make_dataset(args)
+    n = len(ds) if hasattr(ds, "__len__") else args.frames
+    n = min(n, args.frames) if args.frames else n
+
+    ii = gi = 0
+    t0 = time.perf_counter()
+    for f in range(n):
+        scan = ds.scan(f)
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        while gi < len(gps) and gps[gi].stamp <= scan.stamp:
+            pipe.push_gps(gps[gi])
+            gi += 1
+        res = pipe.process_scan(scan)
+        if args.verbose and f % 10 == 0:
+            print(
+                f"[{f}/{n}] pose={np.round(res.pose[3:], 2)} kf={res.is_keyframe}",
+                file=sys.stderr,
+            )
+    elapsed = time.perf_counter() - t0
+
+    os.makedirs(args.out, exist_ok=True)
+    pipe.save_tum(os.path.join(args.out, "trajectory_tum.txt"))
+    if args.save_map:
+        save_map(pipe, args.out, resolution=args.resolution)
+    if args.checkpoint:
+        save_checkpoint(pipe, os.path.join(args.out, "checkpoint.pkl"))
+    print(
+        json.dumps(
+            dict(
+                frames=n,
+                keyframes=pipe.store.count,
+                scans_per_sec=round(n / elapsed, 2),
+                out=args.out,
+            )
+        )
+    )
+
+
+def cmd_eval(args):
+    from .eval.metrics import ate_rmse, load_tum, rpe_rmse
+
+    _, est, _ = load_tum(args.est)
+    _, gt, _ = load_tum(args.gt)
+    n = min(len(est), len(gt))
+    print(
+        json.dumps(
+            dict(
+                ate_rmse=round(ate_rmse(est[:n], gt[:n]), 4),
+                rpe_rmse=round(rpe_rmse(est[:n], gt[:n], delta=args.delta), 4),
+                frames=n,
+            )
+        )
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="liorf_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run SLAM over a dataset")
+    r.add_argument("--dataset", choices=["synthetic", "kitti", "mulran"], required=True)
+    r.add_argument("--root", help="dataset root directory")
+    r.add_argument("--config", help="reference-format YAML config")
+    r.add_argument("--frames", type=int, default=0, help="limit frame count")
+    r.add_argument("--gps", action="store_true", help="enable the GPS factor stream")
+    r.add_argument("--out", required=True)
+    r.add_argument("--save-map", action="store_true")
+    r.add_argument("--resolution", type=float, default=0.0)
+    r.add_argument("--checkpoint", action="store_true")
+    r.add_argument("--verbose", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    e = sub.add_parser("eval", help="ATE/RPE between TUM trajectories")
+    e.add_argument("--est", required=True)
+    e.add_argument("--gt", required=True)
+    e.add_argument("--delta", type=int, default=10)
+    e.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Map export + SLAM-state checkpointing.
+
+``save_map`` mirrors the reference's save_map service
+(``/root/reference/src/mapOptmization.cpp:379-432``, ``srv/save_map.srv``):
+writes trajectory.pcd, transformations.pcd, SurfMap.pcd and GlobalMap.pcd
+(optionally voxel-downsampled to a requested resolution).
+
+``save_checkpoint``/``load_checkpoint`` add what the reference lacks
+(SURVEY §5.4): a full mid-run snapshot — keyframe store, factor lists,
+fusion filter, loop registry — so a SLAM session can resume.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+from ..core.pointcloud import make_cloud
+from ..core.voxel import voxel_downsample
+from ..utils.pcdio import save_pcd
+
+
+def global_map_points(store, max_points_per_kf: int | None = None) -> np.ndarray:
+    """All keyframe clouds fused in the world frame -> [N, 4] xyzi."""
+    pts = []
+    for k in range(store.count):
+        mask = store.cloud_masks[k]
+        cloud = store.clouds[k][mask]
+        if max_points_per_kf:
+            cloud = cloud[:max_points_per_kf]
+        pose = store.poses[k]
+        R = np.asarray(se3.euler_to_rot(jnp.asarray(pose[:3], jnp.float32)))
+        world = cloud @ R.T + pose[3:6]
+        inten = np.full(len(world), float(k), np.float32)
+        pts.append(np.concatenate([world, inten[:, None]], axis=1))
+    if not pts:
+        return np.zeros((0, 4), np.float32)
+    return np.concatenate(pts).astype(np.float32)
+
+
+def save_map(pipeline, directory: str, resolution: float = 0.0) -> bool:
+    """Write trajectory/transformations/SurfMap/GlobalMap PCDs."""
+    os.makedirs(directory, exist_ok=True)
+    store = pipeline.store
+    k = store.count
+    poses = store.poses[:k]
+    times = store.times[:k]
+
+    save_pcd(
+        os.path.join(directory, "trajectory.pcd"),
+        dict(
+            x=poses[:, 3], y=poses[:, 4], z=poses[:, 5],
+            intensity=np.arange(k, dtype=np.float32),
+        ),
+    )
+    save_pcd(
+        os.path.join(directory, "transformations.pcd"),
+        dict(
+            x=poses[:, 3], y=poses[:, 4], z=poses[:, 5],
+            intensity=np.arange(k, dtype=np.float32),
+            roll=poses[:, 0], pitch=poses[:, 1], yaw=poses[:, 2],
+            time=(times - (times[0] if k else 0.0)).astype(np.float32),
+        ),
+    )
+
+    cloud = global_map_points(store)
+    if resolution > 0 and len(cloud):
+        cap = 1 << int(np.ceil(np.log2(max(len(cloud), 2))))
+        pc = make_cloud(cloud[:, :3], intensity=cloud[:, 3], capacity=cap)
+        ds = voxel_downsample(pc, resolution)
+        m = np.asarray(ds.cloud.mask)
+        cloud = np.concatenate(
+            [np.asarray(ds.cloud.xyz)[m], np.asarray(ds.cloud.intensity)[m][:, None]],
+            axis=1,
+        )
+    for name in ("SurfMap.pcd", "GlobalMap.pcd"):
+        save_pcd(
+            os.path.join(directory, name),
+            dict(x=cloud[:, 0], y=cloud[:, 1], z=cloud[:, 2], intensity=cloud[:, 3]),
+        )
+    return True
+
+
+def save_checkpoint(pipeline, path: str):
+    """Snapshot the full SLAM state for resume."""
+    store = pipeline.store
+    state = dict(
+        count=store.count,
+        poses=store.poses[: store.count],
+        times=store.times[: store.count],
+        clouds=store.clouds[: store.count],
+        cloud_masks=store.cloud_masks[: store.count],
+        sc_descs=store.sc_descs[: store.count],
+        sc_keys=store.sc_keys[: store.count],
+        edges=pipeline.edges,
+        gps_factors=pipeline.gps_factors,
+        loop_index=pipeline.loop_detector.loop_index_container,
+        last_pose=pipeline.last_pose,
+        last_scan_stamp=pipeline.last_scan_stamp,
+        frame_idx=pipeline.frame_idx,
+        trajectory=[(f.stamp, f.pose) for f in pipeline.trajectory],
+        filter=None
+        if pipeline.filter is None
+        else dict(
+            mean=[np.asarray(x) for x in pipeline.filter.mean],
+            sqrt_info=np.asarray(pipeline.filter.sqrt_info),
+        ),
+        time_base=pipeline._time_base_val,
+    )
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+
+
+def load_checkpoint(pipeline, path: str):
+    """Restore a snapshot into a freshly constructed pipeline."""
+    from ..imu.fusion import FusionFilter, FusionState
+    from ..pipeline.slam import FrameResult
+
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    store = pipeline.store
+    n = state["count"]
+    while store.kf_cap < n:
+        store._grow()
+    store.count = n
+    store.poses[:n] = state["poses"]
+    store.times[:n] = state["times"]
+    store.clouds[:n] = state["clouds"]
+    store.cloud_masks[:n] = state["cloud_masks"]
+    store.sc_descs[:n] = state["sc_descs"]
+    store.sc_keys[:n] = state["sc_keys"]
+    store._device_dirty = True
+    pipeline.edges = state["edges"]
+    pipeline.gps_factors = state["gps_factors"]
+    pipeline.loop_detector.loop_index_container = state["loop_index"]
+    pipeline.last_pose = state["last_pose"]
+    pipeline.last_scan_stamp = state["last_scan_stamp"]
+    pipeline.frame_idx = state["frame_idx"]
+    pipeline.trajectory = [
+        FrameResult(stamp=t, pose=p, degenerate=False, is_keyframe=False, num_matched=0)
+        for t, p in state["trajectory"]
+    ]
+    if state["filter"] is not None:
+        mean = FusionState(*[jnp.asarray(x) for x in state["filter"]["mean"]])
+        pipeline.filter = FusionFilter(
+            mean=mean, sqrt_info=jnp.asarray(state["filter"]["sqrt_info"])
+        )
+    pipeline._time_base_val = state["time_base"]
+    if n and pipeline.last_scan_stamp is not None:
+        pipeline._rebuild_grid(pipeline.last_pose, pipeline.last_scan_stamp)
+    return pipeline

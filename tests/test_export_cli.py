@@ -1,0 +1,73 @@
+import os
+
+import numpy as np
+import pytest
+
+from liorf_tpu.mapping.export import load_checkpoint, save_checkpoint, save_map
+from liorf_tpu.utils.pcdio import load_pcd, save_pcd
+
+
+def test_pcd_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "a.pcd")
+    fields = dict(
+        x=rng.normal(size=50).astype(np.float32),
+        y=rng.normal(size=50).astype(np.float32),
+        z=rng.normal(size=50).astype(np.float32),
+        intensity=rng.uniform(size=50).astype(np.float32),
+    )
+    save_pcd(path, fields)
+    back = load_pcd(path)
+    for k in fields:
+        np.testing.assert_allclose(back[k], fields[k], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_save_map_and_checkpoint(tmp_path):
+    from test_e2e_synthetic import run_pipeline
+
+    syn, pipe = run_pipeline(n_frames=12)
+    out = str(tmp_path / "maps")
+    assert save_map(pipe, out, resolution=0.5)
+    for name in ("trajectory.pcd", "transformations.pcd", "SurfMap.pcd", "GlobalMap.pcd"):
+        assert os.path.exists(os.path.join(out, name))
+    traj = load_pcd(os.path.join(out, "trajectory.pcd"))
+    assert len(traj["x"]) == pipe.store.count
+    gm = load_pcd(os.path.join(out, "GlobalMap.pcd"))
+    assert len(gm["x"]) > 100
+
+    # checkpoint/resume: restore into a fresh pipeline, continue processing
+    ckpt = str(tmp_path / "state.pkl")
+    save_checkpoint(pipe, ckpt)
+
+    from liorf_tpu.pipeline import LiorfPipeline
+    from test_e2e_synthetic import small_config
+
+    pipe2 = LiorfPipeline(small_config())
+    load_checkpoint(pipe2, ckpt)
+    assert pipe2.store.count == pipe.store.count
+    np.testing.assert_allclose(pipe2.last_pose, pipe.last_pose)
+
+    scan = syn.scan(12)
+    for s in syn.imu_stream():
+        if 1.1 <= s.stamp <= scan.end_time + 0.02:
+            pipe2.push_imu(s)
+    res = pipe2.process_scan(scan)
+    assert np.isfinite(res.pose).all()
+
+
+def test_cli_synthetic(tmp_path):
+    from liorf_tpu import cli
+
+    out = str(tmp_path / "out")
+    cli.main(
+        [
+            "run", "--dataset", "synthetic", "--frames", "8",
+            "--out", out, "--save-map",
+        ]
+    )
+    assert os.path.exists(os.path.join(out, "trajectory_tum.txt"))
+    assert os.path.exists(os.path.join(out, "GlobalMap.pcd"))
+
+    # eval CLI against itself -> zero error
+    est = os.path.join(out, "trajectory_tum.txt")
+    cli.main(["eval", "--est", est, "--gt", est])
