@@ -114,14 +114,14 @@ class SyntheticDataset:
             numer = (center - origin) @ nrm
             with np.errstate(divide="ignore", invalid="ignore"):
                 t = numer / denom
-            hit = dirs * t[:, None] + origin - center
-            ok = (
-                (np.abs(denom) > 1e-6)
-                & (t > 0.5)
-                & (t < self.cfg.max_range)
-                & (np.abs(hit @ u) <= eu)
-                & (np.abs(hit @ v) <= ev)
-            )
+                hit = dirs * t[:, None] + origin - center
+                ok = (
+                    (np.abs(denom) > 1e-6)
+                    & (t > 0.5)
+                    & (t < self.cfg.max_range)
+                    & (np.abs(hit @ u) <= eu)
+                    & (np.abs(hit @ v) <= ev)
+                )
             best_t = np.where(ok & (t < best_t), t, best_t)
         return best_t
 
