@@ -106,15 +106,18 @@ class SyntheticDataset:
         return times, np.stack([self.pose_at(t)[1] for t in times])
 
     # ---- lidar ----
-    def _raycast(self, origin, dirs):
-        """Min positive ray-plane hit per direction against all surfaces."""
+    def _raycast(self, origins, dirs):
+        """Min positive ray-plane hit per ray against all surfaces.
+
+        origins: [N, 3] (per-ray, rays may be fired from different poses),
+        dirs: [N, 3]. Vectorized over surfaces x rays."""
         best_t = np.full(len(dirs), np.inf)
         for center, nrm, eu, ev, u, v in self.surfaces:
             denom = dirs @ nrm
-            numer = (center - origin) @ nrm
+            numer = (center - origins) @ nrm
             with np.errstate(divide="ignore", invalid="ignore"):
                 t = numer / denom
-                hit = dirs * t[:, None] + origin - center
+                hit = dirs * t[:, None] + origins - center
                 ok = (
                     (np.abs(denom) > 1e-6)
                     & (t > 0.5)
@@ -141,29 +144,32 @@ class SyntheticDataset:
         rel_f = rel_t.ravel()
         ring_f = ring.ravel()
 
-        # each azimuth column is fired at its own time -> its own sensor pose
-        pts = np.zeros((len(az_f), 3), np.float32)
-        valid = np.zeros(len(az_f), bool)
-        # group by azimuth index to batch raycasts per firing time
+        # each azimuth column is fired at its own time -> its own sensor
+        # pose; fully vectorized over all rays of the sweep
+        Rs = np.zeros((n_az, 3, 3))
+        ps = np.zeros((n_az, 3))
         for a_idx in range(n_az):
-            sel = np.arange(a_idx, len(az_f), n_az)
-            t_fire = t0 + rel_f[sel][0]
-            R, p = self.pose_at(round(t_fire, 6))
-            d_body = np.stack(
-                [
-                    np.cos(el_f[sel]) * np.cos(az_f[sel]),
-                    np.cos(el_f[sel]) * np.sin(az_f[sel]),
-                    np.sin(el_f[sel]),
-                ],
-                axis=1,
-            )
-            d_world = d_body @ R.T
-            rng_t = self._raycast(p, d_world)
-            ok = np.isfinite(rng_t)
-            hit_world = p + d_world * np.where(ok, rng_t, 1.0)[:, None]
-            # express in the firing-time sensor frame (what a lidar measures)
-            pts[sel] = ((hit_world - p) @ R).astype(np.float32)
-            valid[sel] = ok
+            t_fire = t0 + az[a_idx] / (2 * np.pi) * sweep
+            Rs[a_idx], ps[a_idx] = self.pose_at(round(t_fire, 6))
+
+        col = np.tile(np.arange(n_az), c.n_rings)  # azimuth column per ray
+        d_body = np.stack(
+            [
+                np.cos(el_f) * np.cos(az_f),
+                np.cos(el_f) * np.sin(az_f),
+                np.sin(el_f),
+            ],
+            axis=1,
+        )
+        R_per = Rs[col]  # [N, 3, 3]
+        p_per = ps[col]  # [N, 3]
+        d_world = np.einsum("nij,nj->ni", R_per, d_body)
+        rng_t = self._raycast(p_per, d_world)
+        ok = np.isfinite(rng_t)
+        hit_world = p_per + d_world * np.where(ok, rng_t, 1.0)[:, None]
+        # express in the firing-time sensor frame (what a lidar measures)
+        pts = np.einsum("nij,ni->nj", R_per, hit_world - p_per).astype(np.float32)
+        valid = ok
 
         keep = valid
         return LidarScan(
