@@ -98,7 +98,19 @@ class BagReader:
             elif op == OP_CHUNK:
                 comp = header.get("compression", b"none").decode()
                 if comp == "bz2":
-                    chunk = bz2.decompress(payload)
+                    chunk = None
+                    size = header.get("size")
+                    if size is not None:
+                        try:
+                            from .. import native
+
+                            chunk = native.bz2_decompress(
+                                payload, struct.unpack("<I", size)[0]
+                            )
+                        except Exception:
+                            chunk = None
+                    if chunk is None:
+                        chunk = bz2.decompress(payload)
                 elif comp == "none":
                     chunk = payload
                 elif comp == "lz4":
@@ -197,6 +209,28 @@ def parse_pointcloud2(buf: bytes):
     base = c.pos
     c.skip(data_len)
     n = height * width
+
+    # native fast path: single-pass AoS -> SoA gather (float64 fields like
+    # robosense per-point stamps keep the numpy path for full precision)
+    if all(dt != 8 for _, _, dt, _ in fields):
+        try:
+            from .. import native
+
+            cols = native.pc2_extract(
+                c.buf[base : base + data_len], n, point_step,
+                [(off, dt) for _, off, dt, _ in fields],
+            )
+        except Exception:
+            cols = None
+        if cols is not None:
+            out = {}
+            for i, (name, _, dt, _) in enumerate(fields):
+                col = cols[i]
+                if dt in (1, 2, 3, 4, 5, 6):
+                    col = col.astype(np.int64 if dt in (5, 6) else np.int32)
+                out[name] = col
+            return stamp, out
+
     out = {}
     for name, offset, datatype, count in fields:
         dt = np.dtype("<" + _PC2_DTYPES[datatype])

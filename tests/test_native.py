@@ -1,0 +1,63 @@
+"""Native host-runtime library tests (builds with g++ on first use)."""
+
+import bz2 as py_bz2
+import struct
+
+import numpy as np
+import pytest
+
+from liorf_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library could not be built")
+    return lib
+
+
+def test_pc2_extract_matches_numpy(lib, rng):
+    n, step = 500, 22
+    data = bytearray(n * step)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    inten = rng.uniform(size=n).astype(np.float32)
+    ring = rng.integers(0, 64, size=n).astype(np.uint16)
+    t = rng.uniform(0, 0.1, size=n).astype(np.float32)
+    for i in range(n):
+        struct.pack_into("<ffffHf", data, i * step, xyz[i, 0], xyz[i, 1], xyz[i, 2], inten[i], ring[i], t[i])
+    # fields: x(0,f32) y(4) z(8) intensity(12) ring(16,u16=4) time(18)
+    out = native.pc2_extract(bytes(data), n, step, [(0, 7), (4, 7), (8, 7), (12, 7), (16, 4), (18, 7)])
+    assert out is not None
+    np.testing.assert_allclose(out[0], xyz[:, 0], atol=1e-7)
+    np.testing.assert_allclose(out[2], xyz[:, 2], atol=1e-7)
+    np.testing.assert_allclose(out[3], inten, atol=1e-7)
+    np.testing.assert_allclose(out[4], ring.astype(np.float32))
+    np.testing.assert_allclose(out[5], t, atol=1e-7)
+
+
+def test_bz2_decompress(lib):
+    raw = b"liorf-tpu native runtime " * 100
+    comp = py_bz2.compress(raw)
+    out = native.bz2_decompress(comp, len(raw))
+    if out is None:
+        pytest.skip("libbz2 not found at runtime")
+    assert out == raw
+
+
+def test_prefetcher_roundtrip(lib, tmp_path, rng):
+    paths = []
+    contents = []
+    for i in range(10):
+        p = tmp_path / f"f{i}.bin"
+        c = rng.bytes(1000 + i * 17)
+        p.write_bytes(c)
+        paths.append(str(p))
+        contents.append(c)
+    pf = native.FilePrefetcher(paths, n_threads=2, depth=4)
+    # consume out of order within the window
+    assert pf.get(1) == contents[1]
+    assert pf.get(0) == contents[0]
+    for i in range(2, 10):
+        assert pf.get(i) == contents[i]
+    pf.close()

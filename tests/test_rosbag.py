@@ -193,4 +193,4 @@ def test_pointcloud2_strided_fields(rng):
     assert stamp == pytest.approx(5.0)
     np.testing.assert_allclose(fields["x"], xyz[:, 0], atol=1e-7)
     np.testing.assert_allclose(fields["z"], xyz[:, 2], atol=1e-7)
-    assert fields["ring"].dtype == np.uint16
+    assert np.issubdtype(fields["ring"].dtype, np.integer)
