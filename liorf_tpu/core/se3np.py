@@ -1,0 +1,101 @@
+"""Numpy mirrors of the SE(3) helpers for host-side orchestration math.
+
+The pipeline's bookkeeping (keyframe gating, factor construction, export)
+works on single poses; dispatching those to the device as eager jnp ops
+costs a device roundtrip each — on a tunneled TPU that dominates the frame
+budget. These tiny 3x3 computations belong on the host. Semantics match
+``core.se3`` exactly (R = Rz Ry Rx, pose = [roll, pitch, yaw, x, y, z]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def euler_to_rot(rpy: np.ndarray) -> np.ndarray:
+    rpy = np.asarray(rpy, np.float64)
+    roll, pitch, yaw = rpy[..., 0], rpy[..., 1], rpy[..., 2]
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    R = np.empty(rpy.shape[:-1] + (3, 3), np.float64)
+    R[..., 0, 0] = cy * cp
+    R[..., 0, 1] = cy * sp * sr - sy * cr
+    R[..., 0, 2] = cy * sp * cr + sy * sr
+    R[..., 1, 0] = sy * cp
+    R[..., 1, 1] = sy * sp * sr + cy * cr
+    R[..., 1, 2] = sy * sp * cr - cy * sr
+    R[..., 2, 0] = -sp
+    R[..., 2, 1] = cp * sr
+    R[..., 2, 2] = cp * cr
+    return R
+
+
+def rot_to_euler(R: np.ndarray) -> np.ndarray:
+    R = np.asarray(R, np.float64)
+    sp = -np.clip(R[..., 2, 0], -1.0, 1.0)
+    pitch = np.arcsin(sp)
+    cp = np.sqrt(np.maximum(1.0 - sp * sp, 0.0))
+    safe = cp > 1e-6
+    roll = np.where(safe, np.arctan2(R[..., 2, 1], R[..., 2, 2]), 0.0)
+    yaw = np.where(
+        safe,
+        np.arctan2(R[..., 1, 0], R[..., 0, 0]),
+        np.arctan2(-R[..., 0, 1], R[..., 1, 1]),
+    )
+    return np.stack([roll, pitch, yaw], axis=-1)
+
+
+def pose_to_Rt(pose: np.ndarray):
+    pose = np.asarray(pose, np.float64)
+    return euler_to_rot(pose[..., :3]), pose[..., 3:6]
+
+
+def pose_compose(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    Ra, ta = pose_to_Rt(a)
+    Rb, tb = pose_to_Rt(b)
+    R = Ra @ Rb
+    t = (Ra @ tb[..., None])[..., 0] + ta
+    return np.concatenate([rot_to_euler(R), t], axis=-1)
+
+
+def pose_inverse(a: np.ndarray) -> np.ndarray:
+    Ra, ta = pose_to_Rt(a)
+    Rt = np.swapaxes(Ra, -1, -2)
+    return np.concatenate([rot_to_euler(Rt), -(Rt @ ta[..., None])[..., 0]], axis=-1)
+
+
+def pose_between(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """a^-1 b."""
+    return pose_compose(pose_inverse(a), b)
+
+
+def pose_apply(pose: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    R, t = pose_to_Rt(pose)
+    return np.asarray(pts, np.float64) @ np.swapaxes(R, -1, -2) + t
+
+
+def rot_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
+    """Batch-safe rotation -> (w,x,y,z), via the max-trace construction."""
+    R = np.asarray(R, np.float64)
+    single = R.ndim == 2
+    Rb = R[None] if single else R.reshape(-1, 3, 3)
+    out = np.zeros((len(Rb), 4))
+    for i, m in enumerate(Rb):
+        tr = np.trace(m)
+        if tr > 0:
+            s = np.sqrt(tr + 1.0) * 2
+            out[i] = [0.25 * s, (m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s, (m[1, 0] - m[0, 1]) / s]
+        elif m[0, 0] > m[1, 1] and m[0, 0] > m[2, 2]:
+            s = np.sqrt(1.0 + m[0, 0] - m[1, 1] - m[2, 2]) * 2
+            out[i] = [(m[2, 1] - m[1, 2]) / s, 0.25 * s, (m[0, 1] + m[1, 0]) / s, (m[0, 2] + m[2, 0]) / s]
+        elif m[1, 1] > m[2, 2]:
+            s = np.sqrt(1.0 + m[1, 1] - m[0, 0] - m[2, 2]) * 2
+            out[i] = [(m[0, 2] - m[2, 0]) / s, (m[0, 1] + m[1, 0]) / s, 0.25 * s, (m[1, 2] + m[2, 1]) / s]
+        else:
+            s = np.sqrt(1.0 + m[2, 2] - m[0, 0] - m[1, 1]) * 2
+            out[i] = [(m[1, 0] - m[0, 1]) / s, (m[0, 2] + m[2, 0]) / s, (m[1, 2] + m[2, 1]) / s, 0.25 * s]
+        if out[i, 0] < 0:
+            out[i] = -out[i]
+    out /= np.linalg.norm(out, axis=1, keepdims=True)
+    return out[0] if single else out.reshape(R.shape[:-2] + (4,))

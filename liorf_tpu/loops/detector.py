@@ -29,7 +29,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import se3
+from ..core import se3np
 from ..core.pointcloud import PAD_COORD, make_cloud
 from ..core.voxel import voxel_downsample
 from ..ops import scancontext
@@ -76,7 +76,7 @@ def _submap_world(store, center_idx: int, half_width: int, leaf: float, cap: int
         mask = store.cloud_masks[k]
         cloud = store.clouds[k][mask]
         pose = store.poses[k]
-        R = np.asarray(se3.euler_to_rot(jnp.asarray(pose[:3])))
+        R = se3np.euler_to_rot(pose[:3])
         pts.append(cloud @ R.T + pose[3:6])
     if not pts:
         return None
@@ -112,12 +112,11 @@ def verify_loop(
     src_xyz = cur_sub.xyz
     if init_world_pose is not None:
         cur_pose = store.poses[cur_idx]
-        T_delta = se3.pose_compose(
-            jnp.asarray(init_world_pose, jnp.float32),
-            se3.pose_inverse(jnp.asarray(cur_pose, jnp.float32)),
+        T_delta = se3np.pose_compose(init_world_pose, se3np.pose_inverse(cur_pose))
+        moved = se3np.pose_apply(T_delta, np.asarray(cur_sub.xyz)).astype(np.float32)
+        src_xyz = jnp.asarray(
+            np.where(np.asarray(cur_sub.mask)[:, None], moved, PAD_COORD)
         )
-        src_xyz = se3.pose_apply(T_delta, cur_sub.xyz)
-        src_xyz = jnp.where(cur_sub.mask[:, None], src_xyz, PAD_COORD)
 
     res = icp_point2point(
         src_xyz,
@@ -135,12 +134,8 @@ def verify_loop(
 
     # corrected world pose of cur: icp_correction o (init or current) pose
     base = init_world_pose if init_world_pose is not None else store.poses[cur_idx]
-    corrected = np.asarray(
-        se3.pose_compose(jnp.asarray(res.pose), jnp.asarray(base, jnp.float32))
-    )
-    rel = np.asarray(
-        se3.pose_between(jnp.asarray(store.poses[prev_idx], jnp.float32), jnp.asarray(corrected))
-    )
+    corrected = se3np.pose_compose(np.asarray(res.pose), base)
+    rel = se3np.pose_between(store.poses[prev_idx], corrected).astype(np.float32)
     if kind == "sc":
         sigma = np.full(6, np.sqrt(0.5), np.float32)  # var 0.5 + Cauchy(1) (:714-719)
         cauchy = 1.0
@@ -198,11 +193,8 @@ class LoopDetector:
             if prev >= 0 and prev != cur:
                 yaw = float(det.yaw)
                 prev_pose = store.poses[prev]
-                init = np.asarray(
-                    se3.pose_compose(
-                        jnp.asarray(prev_pose, jnp.float32),
-                        jnp.asarray([0, 0, yaw, 0, 0, 0], jnp.float32),
-                    )
+                init = se3np.pose_compose(
+                    prev_pose, np.asarray([0, 0, yaw, 0, 0, 0], np.float64)
                 )
                 f = verify_loop(store, cur, prev, self.cfg, init_world_pose=init, kind="sc")
                 if f is not None:

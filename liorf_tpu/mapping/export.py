@@ -133,7 +133,7 @@ def load_checkpoint(pipeline, path: str):
     store.cloud_masks[:n] = state["cloud_masks"]
     store.sc_descs[:n] = state["sc_descs"]
     store.sc_keys[:n] = state["sc_keys"]
-    store._device_dirty = True
+    store.invalidate_device()
     pipeline.edges = state["edges"]
     pipeline.gps_factors = state["gps_factors"]
     pipeline.loop_detector.loop_index_container = state["loop_index"]

@@ -26,6 +26,11 @@ from ..core.voxel import voxel_downsample_xyz
 from ..ops import knn
 
 
+@jax.jit
+def _set_row(arr: jax.Array, i, row: jax.Array) -> jax.Array:
+    return arr.at[i].set(row)
+
+
 class KeyframeStore:
     """Append-only store of keyframe poses, clouds, times, SC descriptors."""
 
@@ -40,7 +45,6 @@ class KeyframeStore:
         self.cloud_masks = np.zeros((k, c), bool)
         self.sc_descs = np.zeros((k, 20, 60), np.float32)
         self.sc_keys = np.zeros((k, 20), np.float32)
-        self._device_dirty = True
         self._dev = None
 
     def _grow(self):
@@ -57,6 +61,7 @@ class KeyframeStore:
     def append(self, pose_rpyxyz, time, cloud_xyz, cloud_mask, sc_desc, sc_key) -> int:
         if self.count == self.kf_cap:
             self._grow()
+            self._dev = None  # capacity changed: device mirror rebuilt lazily
         i = self.count
         self.poses[i] = np.asarray(pose_rpyxyz, np.float32)
         self.times[i] = time
@@ -68,18 +73,28 @@ class KeyframeStore:
         self.sc_descs[i] = np.asarray(sc_desc, np.float32)
         self.sc_keys[i] = np.asarray(sc_key, np.float32)
         self.count += 1
-        self._device_dirty = True
+        # incremental device update: only the new row crosses the wire
+        if self._dev is not None:
+            d = self._dev
+            d["clouds"] = _set_row(d["clouds"], i, jnp.asarray(self.clouds[i]))
+            d["cloud_masks"] = _set_row(
+                d["cloud_masks"], i, jnp.asarray(self.cloud_masks[i])
+            )
+            d["sc_descs"] = _set_row(d["sc_descs"], i, jnp.asarray(self.sc_descs[i]))
+            d["sc_keys"] = _set_row(d["sc_keys"], i, jnp.asarray(self.sc_keys[i]))
+            d["poses"] = jnp.asarray(self.poses)  # small [K, 6]
         return i
 
     def update_poses(self, poses_rpyxyz: np.ndarray):
         """Rewrite all keyframe poses after graph relaxation (correctPoses,
         mapOptmization.cpp:1611-1642)."""
         self.poses[: self.count] = poses_rpyxyz[: self.count]
-        self._device_dirty = True
+        if self._dev is not None:
+            self._dev["poses"] = jnp.asarray(self.poses)
 
     def device_arrays(self):
-        """Upload (cached) device copies of the store."""
-        if self._device_dirty or self._dev is None:
+        """Device mirror of the store (incrementally maintained)."""
+        if self._dev is None:
             self._dev = {
                 "poses": jnp.asarray(self.poses),
                 "clouds": jnp.asarray(self.clouds),
@@ -87,8 +102,10 @@ class KeyframeStore:
                 "sc_descs": jnp.asarray(self.sc_descs),
                 "sc_keys": jnp.asarray(self.sc_keys),
             }
-            self._device_dirty = False
         return self._dev
+
+    def invalidate_device(self):
+        self._dev = None
 
     def positions(self) -> np.ndarray:
         return self.poses[: self.count, 3:6]

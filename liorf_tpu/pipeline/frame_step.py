@@ -1,0 +1,152 @@
+"""The fused per-frame device program.
+
+One jit call covers the entire per-scan hot path — deskew, scan voxel
+downsample, IMU preintegration, initial-guess prediction, scan-to-map GN
+registration, fixed-lag fusion (with in-graph divergence reinit), keyframe
+gating, and the ScanContext descriptor — so a frame costs a single host ->
+device dispatch plus one small result pull. This is what makes the 10 Hz
+serial SLAM chain fast on an accelerator: intra-scan parallelism inside one
+XLA program, not many small ops (SURVEY §7 "sequential latency").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import se3
+from ..core.voxel import voxel_downsample_xyz
+from ..imu import fusion as imu_fusion
+from ..imu import preintegration as preint
+from ..ops import scancontext
+from ..ops.deskew import deskew_scan, integrate_gyro
+from ..ops.knn import SpatialHashGrid
+from ..ops.scan_match import ScanMatchParams, scan_to_map
+
+
+class FrameParams(NamedTuple):
+    leaf: float
+    scan_cap: int
+    match: ScanMatchParams
+    fusion: imu_fusion.FusionParams
+    z_tol: float
+    rot_tol: float
+    kf_dist: float
+    kf_angle: float
+
+
+class FrameOutputs(NamedTuple):
+    pose: jax.Array  # [6]
+    degenerate: jax.Array
+    converged: jax.Array
+    num_matched: jax.Array
+    is_kf: jax.Array
+    filter: imu_fusion.FusionFilter
+    diverged: jax.Array
+    ds_xyz: jax.Array
+    ds_mask: jax.Array
+    sc_desc: jax.Array
+    sc_key: jax.Array
+    deskewed: jax.Array
+
+
+@partial(jax.jit, static_argnames=("params",))
+def frame_step(
+    # scan
+    xyz: jax.Array,  # [cap, 3]
+    rel_t: jax.Array,  # [cap]
+    mask: jax.Array,  # [cap]
+    scan_start: jax.Array,  # [] rebased seconds
+    # deskew IMU window (covers the sweep)
+    dk_times: jax.Array,
+    dk_gyr: jax.Array,
+    dk_mask: jax.Array,
+    # fusion IMU window (previous scan -> this scan)
+    fu_acc: jax.Array,
+    fu_gyr: jax.Array,
+    fu_dts: jax.Array,
+    fu_mask: jax.Array,
+    # state
+    grid: SpatialHashGrid,
+    filt: imu_fusion.FusionFilter,
+    last_kf_pose: jax.Array,  # [6]
+    params: FrameParams,
+) -> FrameOutputs:
+    # --- front-end: deskew + downsample (imageProjection) ---
+    tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
+    deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
+    ds_xyz, ds_mask = voxel_downsample_xyz(deskewed, mask, params.leaf, params.scan_cap)
+
+    # --- initial guess: IMU preintegration from the filter state ---
+    pre = preint.preintegrate(
+        fu_acc, fu_gyr, fu_dts, fu_mask, filt.mean.ba, filt.mean.bg,
+        params.fusion.imu,
+    )
+    nav = preint.predict(
+        preint.NavState(R=filt.mean.R, p=filt.mean.p, v=filt.mean.v),
+        pre, filt.mean.ba, filt.mean.bg, params.fusion.imu,
+    )
+    guess = jnp.concatenate([se3.rot_to_euler(nav.R), nav.p])
+
+    # --- scan-to-map GN (mapOptmization.scan2MapOptimization) ---
+    res = scan_to_map(ds_xyz, ds_mask, grid, guess, params.match)
+    pose = res.pose
+    pose = pose.at[0].set(jnp.clip(pose[0], -params.rot_tol, params.rot_tol))
+    pose = pose.at[1].set(jnp.clip(pose[1], -params.rot_tol, params.rot_tol))
+    pose = pose.at[5].set(jnp.clip(pose[5], -params.z_tol, params.z_tol))
+
+    # --- fusion correction with in-graph divergence reinit ---
+    R_l = se3.euler_to_rot(pose[:3])
+    p_l = pose[3:]
+    step = imu_fusion.fusion_step(
+        filt, pre, R_l, p_l, res.degenerate, params.fusion
+    )
+    fresh = imu_fusion.init_filter(R_l, p_l, params.fusion)
+    new_filt = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(step.diverged, a, b), fresh, step.filter
+    )
+
+    # --- keyframe gating (saveFrame) ---
+    rel = se3.pose_between(last_kf_pose, pose)
+    is_kf = (jnp.abs(rel[:3]) > params.kf_angle).any() | (
+        jnp.linalg.norm(rel[3:]) > params.kf_dist
+    )
+
+    # --- ScanContext descriptor on the deskewed full cloud ---
+    desc = scancontext.make_descriptor(deskewed, mask)
+    key = scancontext.ring_key(desc)
+
+    return FrameOutputs(
+        pose=pose,
+        degenerate=res.degenerate,
+        converged=res.converged,
+        num_matched=res.num_matched,
+        is_kf=is_kf,
+        filter=new_filt,
+        diverged=step.diverged,
+        ds_xyz=ds_xyz,
+        ds_mask=ds_mask,
+        sc_desc=desc,
+        sc_key=key,
+        deskewed=deskewed,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def bootstrap_step(
+    xyz, rel_t, mask, scan_start, dk_times, dk_gyr, dk_mask,
+    init_pose: jax.Array, params: FrameParams
+):
+    """First frame: deskew + downsample + descriptor + filter init."""
+    tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
+    deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
+    ds_xyz, ds_mask = voxel_downsample_xyz(deskewed, mask, params.leaf, params.scan_cap)
+    desc = scancontext.make_descriptor(deskewed, mask)
+    key = scancontext.ring_key(desc)
+    filt = imu_fusion.init_filter(
+        se3.euler_to_rot(init_pose[:3]), init_pose[3:], params.fusion
+    )
+    return ds_xyz, ds_mask, desc, key, filt, deskewed

@@ -1,66 +1,35 @@
 """The online SLAM pipeline: the reference's three ROS nodes fused into one
 host-orchestrated sequence of jit'd device stages.
 
-Per-frame flow (cf. SURVEY call stacks 3.1-3.4):
-
-1. front-end (``imageProjection``): range/ring/stride filtering, gyro
-   integration + per-point deskew, scan voxel downsample — one jit call;
-2. initial guess (``updateInitialGuess``): IMU preintegration from the
-   fusion filter state (replacing the odometry/imu_incremental chain);
-3. scan-to-map registration (``scan2MapOptimization``) against the local
-   map grid + ``transformUpdate`` (IMU roll/pitch slerp, tolerance clamps);
-4. IMU fusion correction (``IMUPreintegration::odometryHandler``):
-   fixed-lag GN with the new lidar pose, divergence guard + reinit;
-5. keyframe/back-end (``saveKeyFramesAndFactor``): keyframe gating, odom /
-   GPS / loop factors, pose-graph solve (trailing window each keyframe,
-   full relaxation when loops or GPS land), ``correctPoses`` rewrite, local
-   map grid rebuild;
-6. loop detection (the 1 Hz loop thread) every ``loop_every_frames``.
-
-Host code only moves metadata and slices queues; all per-point math runs
-in jit'd XLA programs over fixed-capacity arrays.
+Per-frame flow (cf. SURVEY call stacks 3.1-3.4): ONE fused device program
+(`frame_step`) covers deskew -> downsample -> IMU-preintegrated initial
+guess -> scan-to-map GN -> fixed-lag fusion -> keyframe gate -> ScanContext
+descriptor; the host only slices queues, records results, and runs the
+keyframe back-end (pose-graph solve + local-map grid rebuild + 1 Hz loop
+detection). All single-pose bookkeeping math is host-side numpy — a device
+roundtrip per tiny op would dominate the 10 Hz frame budget.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import se3
-from ..core.geodesy import LocalCartesian
+from ..core import se3np
 from ..core.pointcloud import PAD_COORD
-from ..core.voxel import voxel_downsample_xyz
 from ..graph import pose_graph as pg
 from ..imu import fusion as imu_fusion
 from ..imu import preintegration as preint
 from ..loops.detector import LoopDetector, LoopFactor
 from ..mapping.keyframes import KeyframeStore, assemble_local_map
-from ..ops import scancontext
-from ..ops.deskew import deskew_scan, integrate_gyro
-from ..ops.scan_match import ScanMatchParams, scan_to_map
+from ..ops.scan_match import ScanMatchParams
 from ..sensors.types import GpsFix, ImuSample, LidarScan
 from .config import SlamConfig
-
-
-@partial(jax.jit, static_argnames=("leaf", "out_cap"))
-def _frontend_step(
-    xyz, rel_times, mask, scan_start, imu_times, imu_gyro, imu_mask, leaf, out_cap
-):
-    """Deskew + voxel downsample, one device roundtrip."""
-    tl = integrate_gyro(imu_times, imu_gyro, imu_mask)
-    deskewed = deskew_scan(xyz, rel_times, mask, scan_start, tl)
-    ds_xyz, ds_mask = voxel_downsample_xyz(deskewed, mask, leaf, out_cap)
-    return deskewed, ds_xyz, ds_mask
-
-
-@jax.jit
-def _sc_descriptor(xyz, mask):
-    desc = scancontext.make_descriptor(xyz, mask)
-    return desc, scancontext.ring_key(desc)
+from .frame_step import FrameParams, bootstrap_step, frame_step
+from ..core.geodesy import LocalCartesian
 
 
 @dataclass
@@ -84,15 +53,13 @@ class LiorfPipeline:
         self.gps_conv = LocalCartesian()
 
         self.imu_queue: list[ImuSample] = []
-        self.gps_queue: list[GpsFix] = []
+        self.gps_queue: list[tuple] = []
         self.pending_loops: list[LoopFactor] = []
 
-        # graph factor lists (host side; device graph built per solve)
         self.edges: list[dict] = []
         self.gps_factors: list[dict] = []
 
-        self.filter: imu_fusion.FusionFilter | None = None
-        self.fusion_params = imu_fusion.FusionParams(
+        fusion_params = imu_fusion.FusionParams(
             imu=preint.ImuParams(
                 acc_noise=cfg.imuAccNoise,
                 gyr_noise=cfg.imuGyrNoise,
@@ -101,17 +68,28 @@ class LiorfPipeline:
                 gravity=cfg.imuGravity,
             )
         )
-        self.match_params = ScanMatchParams()
+        self.frame_params = FrameParams(
+            leaf=cfg.mappingSurfLeafSize,
+            scan_cap=cfg.scan_capacity,
+            match=ScanMatchParams(knn_bucket=16),
+            fusion=fusion_params,
+            z_tol=cfg.z_tollerance,
+            rot_tol=cfg.rotation_tollerance,
+            kf_dist=cfg.surroundingkeyframeAddingDistThreshold,
+            kf_angle=cfg.surroundingkeyframeAddingAngleThreshold,
+        )
+        self.filter: imu_fusion.FusionFilter | None = None
         self.grid = None
         self.last_pose = np.zeros(6, np.float32)
         self.last_scan_stamp: float | None = None
         self.trajectory: list[FrameResult] = []
         self.frame_idx = 0
-        # loop thread runs at loopClosureFrequency Hz vs ~10 Hz scans
-        self.loop_every_frames = max(1, int(round(10.0 / max(cfg.loopClosureFrequency, 0.1))))
+        self.loop_every_frames = max(
+            1, int(round(10.0 / max(cfg.loopClosureFrequency, 0.1)))
+        )
         self.last_gps_xyz = None
         self._ext_rot = cfg.ext_rot
-        self._R_imu2lidar = None  # lazy
+        self._time_base_val: float | None = None
 
     # ------------------------------------------------------------------
     # input streams
@@ -135,17 +113,17 @@ class LiorfPipeline:
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
-    def _imu_window(self, t0: float, t1: float):
-        """Slice the IMU queue into fixed-size arrays covering [t0, t1].
+    def _time_base(self, t: float) -> float:
+        if self._time_base_val is None:
+            self._time_base_val = float(np.floor(t))
+        return self._time_base_val
 
-        Times are rebased by the pipeline's time base in float64 *before*
-        float32 conversion (absolute unix stamps would lose millisecond
-        precision in f32)."""
+    def _imu_window(self, t0: float, t1: float, cap: int):
+        """Rebased fixed-size arrays of IMU samples in [t0, t1]."""
         base = self._time_base(t0)
-        cap = self.cfg.imu_window
         sel = [s for s in self.imu_queue if t0 <= s.stamp <= t1]
         n = min(len(sel), cap)
-        times = np.full(cap, np.inf)
+        times = np.full(cap, np.inf, np.float64)
         acc = np.zeros((cap, 3), np.float32)
         gyr = np.zeros((cap, 3), np.float32)
         mask = np.zeros(cap, bool)
@@ -154,42 +132,15 @@ class LiorfPipeline:
             acc[i] = s.acc
             gyr[i] = s.gyr
             mask[i] = True
-        # per-sample dt for preintegration
         dts = np.zeros(cap, np.float32)
         if n:
             dts[0] = min(1.0 / self.cfg.imuRate, max(times[0] - (t0 - base), 0.0) + 1e-4)
             if n > 1:
                 dts[1:n] = np.diff(times[:n])
-        return (
-            jnp.asarray(times, jnp.float32),
-            jnp.asarray(acc),
-            jnp.asarray(gyr),
-            jnp.asarray(dts),
-            jnp.asarray(mask),
-            n,
-        )
+        return times.astype(np.float32), acc, gyr, dts, mask, n
 
-    def _preintegrate(self, t0: float, t1: float):
-        _, acc, gyr, dts, mask, n = self._imu_window(t0, t1)
-        ba = self.filter.mean.ba if self.filter is not None else jnp.zeros(3)
-        bg = self.filter.mean.bg if self.filter is not None else jnp.zeros(3)
-        return preint.preintegrate(
-            acc, gyr, dts, mask, ba, bg, self.fusion_params.imu
-        ), n
-
-    def _pose_to_Rp(self, pose: np.ndarray):
-        R = np.asarray(se3.euler_to_rot(jnp.asarray(pose[:3], jnp.float32)))
-        return R, pose[3:6].astype(np.float32)
-
-    # ------------------------------------------------------------------
-    # the per-frame step
-    # ------------------------------------------------------------------
-    def process_scan(self, scan: LidarScan) -> FrameResult:
+    def _pack_scan(self, scan: LidarScan):
         cfg = self.cfg
-        t0 = scan.stamp
-        t1 = scan.end_time
-
-        # --- 1. filtering + deskew + downsample (projectPointCloud) ---
         rng = np.linalg.norm(scan.xyz, axis=1)
         keep = (rng >= cfg.lidarMinRange) & (rng <= cfg.lidarMaxRange)
         if cfg.downsampleRate > 1:
@@ -206,96 +157,77 @@ class LiorfPipeline:
         xyz[:n] = pts[:n]
         rts[:n] = rel[:n]
         msk[:n] = True
+        return xyz, rts, msk
 
+    # ------------------------------------------------------------------
+    # the per-frame step
+    # ------------------------------------------------------------------
+    def process_scan(self, scan: LidarScan) -> FrameResult:
+        cfg = self.cfg
+        t0 = scan.stamp
+        t1 = scan.end_time
         base = self._time_base(t0)
-        imu_t, imu_acc, imu_gyr, _, imu_m, n_imu = self._imu_window(t0 - 0.01, t1 + 0.01)
-        deskewed, ds_xyz, ds_mask = _frontend_step(
-            jnp.asarray(xyz),
-            jnp.asarray(rts),
-            jnp.asarray(msk),
-            jnp.asarray(np.float32(t0 - base)),
-            imu_t,
-            imu_gyr,
-            imu_m,
-            cfg.mappingSurfLeafSize,
-            cap,
+
+        xyz, rts, msk = self._pack_scan(scan)
+        dk_t, _, dk_gyr, _, dk_m, _ = self._imu_window(
+            t0 - 0.01, t1 + 0.01, cfg.imu_window
         )
+        scan_start = np.float32(t0 - base)
 
-        # --- 2. initial guess ---
-        if self.last_scan_stamp is not None and self.filter is not None:
-            pre_guess, _ = self._preintegrate(self.last_scan_stamp, t0)
-            nav = preint.predict(
-                preint.NavState(
-                    R=self.filter.mean.R, p=self.filter.mean.p, v=self.filter.mean.v
-                ),
-                pre_guess,
-                self.filter.mean.ba,
-                self.filter.mean.bg,
-                self.fusion_params.imu,
+        if self.grid is None or self.filter is None:
+            # bootstrap frame (updateInitialGuess first branch): identity
+            # pose (IMU attitude handled by 9-axis init when available)
+            init_pose = self.last_pose.copy()
+            ds_xyz, ds_mask, desc, key, filt, deskewed = bootstrap_step(
+                xyz, rts, msk, scan_start, dk_t, dk_gyr, dk_m,
+                jnp.asarray(init_pose), self.frame_params,
             )
-            guess = np.concatenate(
-                [np.asarray(se3.rot_to_euler(nav.R)), np.asarray(nav.p)]
-            ).astype(np.float32)
+            self.filter = filt
+            pose = init_pose
+            degenerate, converged, num_matched = False, True, 0
+            is_kf = True
+            out_kf = (ds_xyz, ds_mask, desc, key)
         else:
-            guess = self.last_pose.copy()
-
-        # --- 3. scan-to-map ---
-        degenerate = False
-        matched = guess
-        num_matched = 0
-        if self.grid is not None:
-            res = scan_to_map(
-                ds_xyz, ds_mask, self.grid, jnp.asarray(guess), self.match_params
+            _, fu_acc, fu_gyr, fu_dts, fu_m, _ = self._imu_window(
+                self.last_scan_stamp, t0, cfg.imu_window
             )
-            matched = np.array(res.pose)  # writable copy
-            degenerate = bool(res.degenerate)
-            num_matched = int(res.num_matched)
-            # transformUpdate clamps (mapOptmization.cpp:1347-1351)
-            matched[0] = np.clip(matched[0], -cfg.rotation_tollerance, cfg.rotation_tollerance)
-            matched[1] = np.clip(matched[1], -cfg.rotation_tollerance, cfg.rotation_tollerance)
-            matched[5] = np.clip(matched[5], -cfg.z_tollerance, cfg.z_tollerance)
-
-        # --- 4. IMU fusion correction ---
-        R_l, p_l = self._pose_to_Rp(matched)
-        if self.filter is None:
-            self.filter = imu_fusion.init_filter(
-                jnp.asarray(R_l), jnp.asarray(p_l), self.fusion_params
+            out = frame_step(
+                xyz, rts, msk, scan_start, dk_t, dk_gyr, dk_m,
+                jnp.asarray(fu_acc), jnp.asarray(fu_gyr), jnp.asarray(fu_dts),
+                jnp.asarray(fu_m), self.grid, self.filter,
+                jnp.asarray(self.store.poses[self.store.count - 1]),
+                self.frame_params,
             )
-        elif self.last_scan_stamp is not None and n_imu > 0:
-            pre_f, _ = self._preintegrate(self.last_scan_stamp, t0)
-            step = imu_fusion.fusion_step(
-                self.filter,
-                pre_f,
-                jnp.asarray(R_l),
-                jnp.asarray(p_l),
-                jnp.asarray(degenerate),
-                self.fusion_params,
-            )
-            if bool(step.diverged):
-                self.filter = imu_fusion.init_filter(
-                    jnp.asarray(R_l), jnp.asarray(p_l), self.fusion_params
+            # ONE small pull for the per-frame scalars
+            pose, flags = np.array(out.pose), np.asarray(
+                jnp.stack(
+                    [
+                        out.degenerate,
+                        out.converged,
+                        out.is_kf,
+                        out.num_matched.astype(jnp.float32),
+                    ]
                 )
-            else:
-                self.filter = step.filter
+            )
+            degenerate = bool(flags[0])
+            converged = bool(flags[1])
+            is_kf = bool(flags[2])
+            num_matched = int(flags[3])
+            self.filter = out.filter
+            out_kf = (out.ds_xyz, out.ds_mask, out.sc_desc, out.sc_key)
 
-        # --- 5. keyframe + back-end ---
-        is_kf = self._should_add_keyframe(matched)
         if is_kf:
-            self._add_keyframe(matched, t0, deskewed, jnp.asarray(msk), ds_xyz, ds_mask)
+            self._add_keyframe(pose, t0, *out_kf)
 
-        self.last_pose = matched
+        self.last_pose = pose
         self.last_scan_stamp = t0
         result = FrameResult(
-            stamp=t0,
-            pose=matched.copy(),
-            degenerate=degenerate,
-            is_keyframe=is_kf,
-            num_matched=num_matched,
+            stamp=t0, pose=pose.copy(), degenerate=degenerate,
+            is_keyframe=is_kf, num_matched=num_matched,
         )
         self.trajectory.append(result)
         self.frame_idx += 1
 
-        # --- 6. loop detection cadence (1 Hz thread equivalent) ---
         if (
             cfg.loopClosureEnableFlag
             and self.frame_idx % self.loop_every_frames == 0
@@ -305,91 +237,51 @@ class LiorfPipeline:
         return result
 
     # ------------------------------------------------------------------
-    _time_base_val: float | None = None
-
-    def _time_base(self, t: float) -> float:
-        """Stable offset subtracted from absolute times before float32
-        device math (keeps timestamps well-conditioned)."""
-        if self._time_base_val is None:
-            self._time_base_val = float(np.floor(t))
-        return self._time_base_val
-
-    def _should_add_keyframe(self, pose: np.ndarray) -> bool:
-        """saveFrame (mapOptmization.cpp:1365-1384)."""
-        if self.store.count == 0:
-            return True
-        prev = self.store.poses[self.store.count - 1]
-        rel = np.asarray(
-            se3.pose_between(jnp.asarray(prev, jnp.float32), jnp.asarray(pose, jnp.float32))
-        )
-        ang = np.abs(rel[:3])
-        dist = np.linalg.norm(rel[3:])
-        c = self.cfg
-        return bool(
-            (ang > c.surroundingkeyframeAddingAngleThreshold).any()
-            or dist > c.surroundingkeyframeAddingDistThreshold
-        )
-
-    def _add_keyframe(self, pose, stamp, deskewed, scan_mask, ds_xyz, ds_mask):
-        cfg = self.cfg
-        # SC descriptor on the full deskewed cloud (SINGLE_SCAN_FULL,
-        # mapOptmization.cpp:1587-1595)
-        desc, key = _sc_descriptor(deskewed, scan_mask)
+    # keyframe back-end
+    # ------------------------------------------------------------------
+    def _add_keyframe(self, pose, stamp, ds_xyz, ds_mask, desc, key):
+        # pull the keyframe payload (only on keyframe events)
+        ds_xyz_np = np.asarray(ds_xyz)
+        ds_mask_np = np.asarray(ds_mask)
         new_idx = self.store.append(
-            pose, stamp, np.asarray(ds_xyz), np.asarray(ds_mask), np.asarray(desc), np.asarray(key)
+            pose, stamp, ds_xyz_np, ds_mask_np, np.asarray(desc), np.asarray(key)
         )
 
         loop_or_gps = False
-        # odom factor (addOdomFactor, :1386-1400)
         if new_idx > 0:
             prev_pose = self.store.poses[new_idx - 1]
-            rel = np.asarray(
-                se3.pose_between(
-                    jnp.asarray(prev_pose, jnp.float32), jnp.asarray(pose, jnp.float32)
-                )
-            )
+            rel = se3np.pose_between(prev_pose, pose).astype(np.float32)
             self.edges.append(
                 dict(
-                    i=new_idx - 1,
-                    j=new_idx,
-                    rel=rel,
+                    i=new_idx - 1, j=new_idx, rel=rel,
                     sigma=np.asarray([1e-3] * 3 + [1e-2] * 3, np.float32),
                     cauchy=0.0,
                 )
             )
 
-        # GPS factor (addGPSFactor, :1402-1480)
         loop_or_gps |= self._maybe_add_gps_factor(new_idx, stamp, pose)
 
-        # loop factors (addLoopFactor, :1482-1501)
         if self.pending_loops:
             for f in self.pending_loops:
                 self.edges.append(
-                    dict(
-                        i=f.idx_from,
-                        j=f.idx_to,
-                        rel=f.rel_pose,
-                        sigma=f.sigma,
-                        cauchy=f.cauchy,
-                    )
+                    dict(i=f.idx_from, j=f.idx_to, rel=f.rel_pose,
+                         sigma=f.sigma, cauchy=f.cauchy)
                 )
             self.pending_loops.clear()
             loop_or_gps = True
 
-        # solve
         if new_idx > 0:
             self._solve_graph(full=loop_or_gps)
             pose[:] = self.store.poses[new_idx]
 
-        # rebuild local map around the (possibly corrected) pose
         self._rebuild_grid(pose, stamp)
 
     def _maybe_add_gps_factor(self, new_idx, stamp, pose) -> bool:
-        """addGPSFactor gating: time alignment +-0.2 s, covariance gate,
-        elevation override, >=5 m spacing. (The reference's pose-covariance
-        gate needs graph marginals; approximated by the spacing rule.)"""
+        """addGPSFactor gating (mapOptmization.cpp:1402-1480): +-0.2 s time
+        alignment, covariance gate, elevation override, >=5 m spacing. (The
+        pose-covariance gate needs graph marginals; approximated by the
+        spacing rule.)"""
         cfg = self.cfg
-        added = False
         while self.gps_queue:
             ts, enu, cov = self.gps_queue[0]
             if ts < stamp - 0.2:
@@ -408,14 +300,16 @@ class LiorfPipeline:
             if abs(gx) < 1e-6 and abs(gy) < 1e-6:
                 continue
             cur = np.array([gx, gy, gz])
-            if self.last_gps_xyz is not None and np.linalg.norm(cur - self.last_gps_xyz) < 5.0:
+            if (
+                self.last_gps_xyz is not None
+                and np.linalg.norm(cur - self.last_gps_xyz) < 5.0
+            ):
                 continue
             self.last_gps_xyz = cur
             sig = np.sqrt(np.maximum([cov[0], cov[1], nz], 1.0)).astype(np.float32)
             self.gps_factors.append(dict(i=new_idx, t=cur.astype(np.float32), sigma=sig))
-            added = True
-            break
-        return added
+            return True
+        return False
 
     def _solve_graph(self, full: bool):
         k = self.store.count
@@ -425,13 +319,11 @@ class LiorfPipeline:
         g = pg.empty_graph(K, E, G)
 
         poses = self.store.poses[:k]
-        Rs = np.stack([np.asarray(se3.euler_to_rot(jnp.asarray(p[:3]))) for p in poses])
         Rs_full = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
-        Rs_full[:k] = Rs
+        Rs_full[:k] = se3np.euler_to_rot(poses[:, :3]).astype(np.float32)
         ts_full = np.zeros((K, 3), np.float32)
         ts_full[:k] = poses[:, 3:6]
 
-        e = self.edges
         e_i = np.zeros(E, np.int32)
         e_j = np.zeros(E, np.int32)
         e_Rm = np.tile(np.eye(3, dtype=np.float32), (E, 1, 1))
@@ -439,10 +331,10 @@ class LiorfPipeline:
         e_si = np.ones((E, 6), np.float32)
         e_c = np.zeros(E, np.float32)
         e_m = np.zeros(E, bool)
-        for idx, ed in enumerate(e):
+        for idx, ed in enumerate(self.edges):
             e_i[idx] = ed["i"]
             e_j[idx] = ed["j"]
-            e_Rm[idx] = np.asarray(se3.euler_to_rot(jnp.asarray(ed["rel"][:3], jnp.float32)))
+            e_Rm[idx] = se3np.euler_to_rot(ed["rel"][:3]).astype(np.float32)
             e_tm[idx] = ed["rel"][3:6]
             e_si[idx] = 1.0 / ed["sigma"]
             e_c[idx] = ed["cauchy"]
@@ -473,8 +365,8 @@ class LiorfPipeline:
             g_t=jnp.asarray(g_t),
             g_sqrt_info=jnp.asarray(g_si),
             g_mask=jnp.asarray(g_m),
-            prior_R=jnp.asarray(Rs[0]),
-            prior_t=jnp.asarray(poses[0, 3:6]),
+            prior_R=jnp.asarray(Rs_full[0]),
+            prior_t=jnp.asarray(ts_full[0]),
         )
         free_from = 0 if full else max(0, k - self.cfg.graph_window)
         params = (
@@ -483,9 +375,13 @@ class LiorfPipeline:
             else pg.SolveParams(gn_iters=3, pcg_iters=32)
         )
         solved = pg.solve(g, free_from=jnp.asarray(free_from, jnp.int32), params=params)
-        rpy = np.asarray(se3.rot_to_euler(solved.Rs[:k]))
-        new_poses = np.concatenate([rpy, np.asarray(solved.ts[:k])], axis=1)
-        self.store.update_poses(new_poses.astype(np.float32))
+        # single pull of the solved block
+        Rs_np = np.asarray(solved.Rs[:k])
+        ts_np = np.asarray(solved.ts[:k])
+        rpy = se3np.rot_to_euler(Rs_np)
+        self.store.update_poses(
+            np.concatenate([rpy, ts_np], axis=1).astype(np.float32)
+        )
 
     def _rebuild_grid(self, pose, stamp):
         cfg = self.cfg
@@ -494,10 +390,12 @@ class LiorfPipeline:
             dev["poses"],
             dev["clouds"],
             dev["cloud_masks"],
-            jnp.asarray(self.store.times - self._time_base(stamp), jnp.float32),
+            jnp.asarray(
+                (self.store.times - self._time_base(stamp)).astype(np.float32)
+            ),
             jnp.asarray(self.store.count, jnp.int32),
             jnp.asarray(pose[3:6], jnp.float32),
-            jnp.asarray(stamp - self._time_base(stamp), jnp.float32),
+            jnp.asarray(np.float32(stamp - self._time_base(stamp))),
             radius=cfg.surroundingKeyframeSearchRadius,
             recent_seconds=10.0,
             near_cap=cfg.near_kf_capacity,
@@ -521,5 +419,5 @@ class LiorfPipeline:
         from ..eval.metrics import save_tum
 
         times, poses = self.trajectory_arrays()
-        quats = np.asarray(se3.rot_to_quat(se3.euler_to_rot(jnp.asarray(poses[:, :3]))))
+        quats = se3np.rot_to_quat_wxyz(se3np.euler_to_rot(poses[:, :3]))
         save_tum(path, times, poses[:, 3:6], quats)
