@@ -36,6 +36,7 @@ class FrameParams(NamedTuple):
     rot_tol: float
     kf_dist: float
     kf_angle: float
+    imu_rpy_weight: float = 0.0  # 9-axis roll/pitch slerp (imuRPYWeight)
 
 
 class FrameOutputs(NamedTuple):
@@ -74,6 +75,8 @@ def frame_step(
     filt: imu_fusion.FusionFilter,
     last_kf_pose: jax.Array,  # [6]
     params: FrameParams,
+    imu_rpy: jax.Array | None = None,  # [3] 9-axis attitude at scan start
+    imu_rpy_ok: jax.Array | None = None,  # [] bool
 ) -> FrameOutputs:
     # --- front-end: deskew + downsample (imageProjection) ---
     tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
@@ -94,6 +97,20 @@ def frame_step(
     # --- scan-to-map GN (mapOptmization.scan2MapOptimization) ---
     res = scan_to_map(ds_xyz, ds_mask, grid, guess, params.match)
     pose = res.pose
+    # transformUpdate 9-axis attitude blending (mapOptmization.cpp:1323-1346):
+    # slerp roll and pitch toward the IMU attitude with imuRPYWeight when
+    # the pitch is away from the gimbal zone.
+    if imu_rpy is not None and params.imu_rpy_weight > 0:
+        w = params.imu_rpy_weight
+        roll_s = se3.euler_slerp(
+            jnp.array([pose[0], 0.0, 0.0]), jnp.array([imu_rpy[0], 0.0, 0.0]), w
+        )[0]
+        pitch_s = se3.euler_slerp(
+            jnp.array([0.0, pose[1], 0.0]), jnp.array([0.0, imu_rpy[1], 0.0]), w
+        )[1]
+        use = imu_rpy_ok & (jnp.abs(imu_rpy[1]) < 1.4)
+        pose = pose.at[0].set(jnp.where(use, roll_s, pose[0]))
+        pose = pose.at[1].set(jnp.where(use, pitch_s, pose[1]))
     pose = pose.at[0].set(jnp.clip(pose[0], -params.rot_tol, params.rot_tol))
     pose = pose.at[1].set(jnp.clip(pose[1], -params.rot_tol, params.rot_tol))
     pose = pose.at[5].set(jnp.clip(pose[5], -params.z_tol, params.z_tol))

@@ -32,6 +32,20 @@ from .frame_step import FrameParams, bootstrap_step, frame_step
 from ..core.geodesy import LocalCartesian
 
 
+def _quat_mul_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hamilton product of (w,x,y,z) quaternions (host-side)."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.asarray(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ]
+    )
+
+
 @dataclass
 class FrameResult:
     stamp: float
@@ -77,6 +91,7 @@ class LiorfPipeline:
             rot_tol=cfg.rotation_tollerance,
             kf_dist=cfg.surroundingkeyframeAddingDistThreshold,
             kf_angle=cfg.surroundingkeyframeAddingAngleThreshold,
+            imu_rpy_weight=cfg.imuRPYWeight if cfg.imuType == 1 else 0.0,
         )
         self.filter: imu_fusion.FusionFilter | None = None
         self.grid = None
@@ -89,6 +104,7 @@ class LiorfPipeline:
         )
         self.last_gps_xyz = None
         self._ext_rot = cfg.ext_rot
+        self._ext_rpy_quat = se3np.rot_to_quat_wxyz(cfg.ext_rpy)
         self._time_base_val: float | None = None
 
     # ------------------------------------------------------------------
@@ -96,12 +112,41 @@ class LiorfPipeline:
     # ------------------------------------------------------------------
     def push_imu(self, s: ImuSample):
         """imuConverter (utility.h:257-290): rotate acc/gyr into the lidar
-        frame with extrinsicRot."""
+        frame with extrinsicRot; 9-axis attitude composed with extrinsicRPY."""
         acc = self._ext_rot @ np.asarray(s.acc, np.float64)
         gyr = self._ext_rot @ np.asarray(s.gyr, np.float64)
-        self.imu_queue.append(ImuSample(s.stamp, acc, gyr, s.quat_wxyz))
+        quat = s.quat_wxyz
+        if self.cfg.imuType == 1 and quat is not None:
+            quat = _quat_mul_np(np.asarray(quat, np.float64), self._ext_rpy_quat)
+            if np.linalg.norm(quat) < 0.1:
+                raise ValueError("Invalid quaternion, please use a 9-axis IMU!")
+        self.imu_queue.append(ImuSample(s.stamp, acc, gyr, quat))
         if len(self.imu_queue) > 5000:
             self.imu_queue = self.imu_queue[-5000:]
+
+    def _attitude_at(self, t: float):
+        """Latest 9-axis attitude rpy at or before t (imuDeskewInfo's
+        imuRollInit/..., imageProjection.cpp:371-376)."""
+        if self.cfg.imuType != 1:
+            return None, False
+        best = None
+        for s in reversed(self.imu_queue):
+            if s.stamp <= t and s.quat_wxyz is not None:
+                best = s.quat_wxyz
+                break
+        if best is None:
+            return None, False
+        q = np.asarray(best, np.float64)
+        q = q / np.linalg.norm(q)
+        w, x, y, z = q
+        R = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ]
+        )
+        return se3np.rot_to_euler(R), True
 
     def push_gps(self, fix: GpsFix):
         """gpsHandler (mapOptmization.cpp:277-299): LLA -> local ENU."""
@@ -174,10 +219,17 @@ class LiorfPipeline:
         )
         scan_start = np.float32(t0 - base)
 
+        imu_rpy, imu_rpy_ok = self._attitude_at(t0)
+
         if self.grid is None or self.filter is None:
-            # bootstrap frame (updateInitialGuess first branch): identity
-            # pose (IMU attitude handled by 9-axis init when available)
+            # bootstrap frame (updateInitialGuess first branch,
+            # mapOptmization.cpp:906-917): 9-axis attitude seeds roll/pitch,
+            # yaw zeroed unless useImuHeadingInitialization
             init_pose = self.last_pose.copy()
+            if imu_rpy_ok:
+                init_pose[0] = imu_rpy[0]
+                init_pose[1] = imu_rpy[1]
+                init_pose[2] = imu_rpy[2] if cfg.useImuHeadingInitialization else 0.0
             ds_xyz, ds_mask, desc, key, filt, deskewed = bootstrap_step(
                 xyz, rts, msk, scan_start, dk_t, dk_gyr, dk_m,
                 jnp.asarray(init_pose), self.frame_params,
@@ -191,12 +243,18 @@ class LiorfPipeline:
             _, fu_acc, fu_gyr, fu_dts, fu_m, _ = self._imu_window(
                 self.last_scan_stamp, t0, cfg.imu_window
             )
+            rpy_arg = (
+                jnp.asarray(np.asarray(imu_rpy, np.float32))
+                if imu_rpy_ok
+                else jnp.zeros(3, jnp.float32)
+            ) if self.cfg.imuType == 1 else None
+            ok_arg = jnp.asarray(bool(imu_rpy_ok)) if self.cfg.imuType == 1 else None
             out = frame_step(
                 xyz, rts, msk, scan_start, dk_t, dk_gyr, dk_m,
                 jnp.asarray(fu_acc), jnp.asarray(fu_gyr), jnp.asarray(fu_dts),
                 jnp.asarray(fu_m), self.grid, self.filter,
                 jnp.asarray(self.store.poses[self.store.count - 1]),
-                self.frame_params,
+                self.frame_params, rpy_arg, ok_arg,
             )
             # ONE small pull for the per-frame scalars
             pose, flags = np.array(out.pose), np.asarray(
@@ -414,6 +472,35 @@ class LiorfPipeline:
 
     def keyframe_trajectory(self):
         return self.store.times[: self.store.count], self.store.poses[: self.store.count]
+
+    def imu_rate_poses(self, horizon: float = 0.5):
+        """IMU-rate odometry since the last scan correction — the
+        TransformFusion/odometry-imu output stream of the reference
+        (imuPreintegration.cpp:23-154,458-506): the fused filter state
+        propagated through the queued IMU samples.
+
+        Returns (times [K], poses [K, 6] rpyxyz)."""
+        if self.filter is None or self.last_scan_stamp is None:
+            return np.zeros(0), np.zeros((0, 6), np.float32)
+        t0 = self.last_scan_stamp
+        times, acc, gyr, dts, mask, n = self._imu_window(
+            t0, t0 + horizon, self.cfg.imu_window
+        )
+        if n == 0:
+            return np.zeros(0), np.zeros((0, 6), np.float32)
+        Rs, ps = imu_fusion.predict_poses(
+            self.filter.mean,
+            jnp.asarray(acc), jnp.asarray(gyr), jnp.asarray(dts), jnp.asarray(mask),
+            gravity=self.cfg.imuGravity,
+        )
+        Rs = np.asarray(Rs)[:n]
+        ps = np.asarray(ps)[:n]
+        rpy = se3np.rot_to_euler(Rs)
+        base = self._time_base(t0)
+        return (
+            np.asarray(times[:n], np.float64) + base,
+            np.concatenate([rpy, ps], axis=1).astype(np.float32),
+        )
 
     def save_tum(self, path: str):
         from ..eval.metrics import save_tum
