@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import se3
 
@@ -114,7 +115,11 @@ def _prior_residual(xi_i, Ri, ti, R0, t0):
     return jnp.concatenate([se3.so3_log(R0.T @ Ri2), ti2 - t0])
 
 
-_zero6 = jnp.zeros(6, jnp.float32)
+# NumPy, NOT jnp: a module-level jax array closed over by jit'd code is
+# hoisted into an executable parameter, which the axon TPU tunnel runs on a
+# ~30 ms slow path (and the slowdown sticks for the process). A numpy
+# constant folds into the HLO as a literal and stays on the fast path.
+_zero6 = np.zeros(6, np.float32)
 
 _between_rJ = jax.vmap(
     lambda Ri, ti, Rj, tj, Rm, tm: (

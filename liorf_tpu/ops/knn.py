@@ -31,7 +31,11 @@ from ..core.pointcloud import PAD_COORD
 # larger than the 50 m local-map radius + lidar range used by the reference.
 _BITS = 10
 _HALF = 1 << (_BITS - 1)  # 512
-_SENTINEL = jnp.int32(2**31 - 1)
+# Python int, NOT a jnp scalar: closed-over jax arrays become hoisted
+# executable parameters, which the axon TPU tunnel executes on a ~30 ms
+# slow path (and poisons the whole process); plain literals fold into the
+# HLO and stay on the fast path.
+_SENTINEL = 2**31 - 1
 
 
 class SpatialHashGrid(NamedTuple):
