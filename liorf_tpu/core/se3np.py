@@ -99,3 +99,33 @@ def rot_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
             out[i] = -out[i]
     out /= np.linalg.norm(out, axis=1, keepdims=True)
     return out[0] if single else out.reshape(R.shape[:-2] + (4,))
+
+
+def so3_log(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> axis-angle vector (host-side; matches se3.so3_log).
+
+    Dataset generators and host bookkeeping must NOT call the jax version
+    eagerly — each eager device call plus result pull costs a tunnel
+    roundtrip (see .claude/skills/verify/SKILL.md gotchas).
+    """
+    R = np.asarray(R, np.float64)
+    tr = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(tr)
+    if theta < 1e-7:
+        return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]) / 2.0
+    if np.pi - theta < 1e-5:
+        # near pi: use the symmetric part to recover the axis
+        A = (R + np.eye(3)) / 2.0
+        axis = np.sqrt(np.maximum(np.diag(A), 0.0))
+        # fix signs from off-diagonals
+        if axis[0] > 0:
+            axis[1] = np.sign(A[0, 1]) * abs(axis[1])
+            axis[2] = np.sign(A[0, 2]) * abs(axis[2])
+        elif axis[1] > 0:
+            axis[2] = np.sign(A[1, 2]) * abs(axis[2])
+        n = np.linalg.norm(axis)
+        if n > 0:
+            axis = axis / n
+        return axis * theta
+    w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return w * theta / (2.0 * np.sin(theta))

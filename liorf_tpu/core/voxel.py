@@ -77,3 +77,28 @@ def voxel_downsample_xyz(
     pc = PointCloud(xyz=xyz, intensity=jnp.zeros(xyz.shape[0], jnp.float32), mask=mask)
     res = voxel_downsample(pc, leaf_size, out_capacity)
     return res.cloud.xyz, res.cloud.mask
+
+
+def voxel_downsample_np(xyz, leaf_size: float):
+    """Host-side (numpy) centroid voxel filter for host-resident clouds.
+
+    Used where the data already lives on the host (e.g. loop-closure submap
+    prep from the keyframe store) — a device roundtrip per call would cost
+    more than the filter itself on a tunneled TPU.
+    """
+    import numpy as np
+
+    xyz = np.asarray(xyz, np.float32)
+    if len(xyz) == 0:
+        return xyz
+    cell = np.floor(xyz / leaf_size).astype(np.int64)
+    # pack 21 bits per axis around a 2^20 offset
+    key = (
+        ((cell[:, 0] + (1 << 20)) << 42)
+        | ((cell[:, 1] + (1 << 20)) << 21)
+        | (cell[:, 2] + (1 << 20))
+    )
+    uniq, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+    sums = np.zeros((len(uniq), 3), np.float64)
+    np.add.at(sums, inv, xyz)
+    return (sums / cnt[:, None]).astype(np.float32)

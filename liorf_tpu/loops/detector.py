@@ -30,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import se3np
-from ..core.pointcloud import PAD_COORD, make_cloud
-from ..core.voxel import voxel_downsample
+from ..core.pointcloud import PAD_COORD
+from ..core.voxel import voxel_downsample_np
 from ..ops import scancontext
 from ..ops.icp import ICPParams, icp_point2point
 
@@ -68,7 +68,9 @@ def detect_rs_candidate(
 
 def _submap_world(store, center_idx: int, half_width: int, leaf: float, cap: int):
     """Fuse +-half_width keyframe clouds around center_idx in world frame
-    (loopFindNearKeyframes, mapOptmization.cpp:821-844)."""
+    (loopFindNearKeyframes, mapOptmization.cpp:821-844). Entirely host-side:
+    the clouds live in the host keyframe store, and a device roundtrip here
+    would cost more than the work."""
     lo = max(0, center_idx - half_width)
     hi = min(store.count - 1, center_idx + half_width)
     pts = []
@@ -81,8 +83,7 @@ def _submap_world(store, center_idx: int, half_width: int, leaf: float, cap: int
     if not pts:
         return None
     world = np.concatenate(pts).astype(np.float32)
-    pc = make_cloud(world, capacity=max(cap, 1 << int(np.ceil(np.log2(max(len(world), 1))))))
-    ds = voxel_downsample(pc, leaf, cap).cloud
+    ds = voxel_downsample_np(world, leaf)[:cap]
     return ds
 
 
@@ -102,39 +103,49 @@ def verify_loop(
     )
     if cur_sub is None or prev_sub is None:
         return None
-    n_cur = int(np.asarray(cur_sub.mask).sum())
-    n_prev = int(np.asarray(prev_sub.mask).sum())
+    n_cur = len(cur_sub)
+    n_prev = len(prev_sub)
     if n_cur < 300 or n_prev < 1000:  # reference gates (:565)
         return None
 
     # ICP aligns the world-frame cur cloud onto the prev submap; with an
-    # explicit init pose, pre-move the source there first.
-    src_xyz = cur_sub.xyz
+    # explicit init pose, pre-move the source there first (host-side).
+    src = cur_sub
     if init_world_pose is not None:
         cur_pose = store.poses[cur_idx]
         T_delta = se3np.pose_compose(init_world_pose, se3np.pose_inverse(cur_pose))
-        moved = se3np.pose_apply(T_delta, np.asarray(cur_sub.xyz)).astype(np.float32)
-        src_xyz = jnp.asarray(
-            np.where(np.asarray(cur_sub.mask)[:, None], moved, PAD_COORD)
-        )
+        src = se3np.pose_apply(T_delta, cur_sub).astype(np.float32)
 
+    def _pad(a, cap_n):
+        out = np.full((cap_n, 3), PAD_COORD, np.float32)
+        m = np.zeros(cap_n, bool)
+        n = min(len(a), cap_n)
+        out[:n] = a[:n]
+        m[:n] = True
+        return out, m
+
+    src_p, src_m = _pad(src, cap)
+    tgt_p, tgt_m = _pad(prev_sub, cap)
     res = icp_point2point(
-        src_xyz,
-        cur_sub.mask,
-        prev_sub.xyz,
-        prev_sub.mask,
-        jnp.zeros(6, jnp.float32),
+        jnp.asarray(src_p), jnp.asarray(src_m), jnp.asarray(tgt_p),
+        jnp.asarray(tgt_m), jnp.zeros(6, jnp.float32),
         ICPParams(
             max_iters=30, max_corr_dist=float(cfg.historyKeyframeSearchRadius * 2)
         ),
     )
-    fitness = float(res.fitness)
-    if not bool(res.converged) or fitness > cfg.historyKeyframeFitnessScore:
+    # ONE packed pull of (pose, fitness, converged)
+    packed = np.asarray(
+        jnp.concatenate(
+            [res.pose, jnp.stack([res.fitness, res.converged.astype(jnp.float32)])]
+        )
+    )
+    fitness = float(packed[6])
+    if packed[7] < 0.5 or fitness > cfg.historyKeyframeFitnessScore:
         return None
 
     # corrected world pose of cur: icp_correction o (init or current) pose
     base = init_world_pose if init_world_pose is not None else store.poses[cur_idx]
-    corrected = se3np.pose_compose(np.asarray(res.pose), base)
+    corrected = se3np.pose_compose(packed[:6], base)
     rel = se3np.pose_between(store.poses[prev_idx], corrected).astype(np.float32)
     if kind == "sc":
         sigma = np.full(6, np.sqrt(0.5), np.float32)  # var 0.5 + Cauchy(1) (:714-719)
@@ -189,9 +200,13 @@ class LoopDetector:
                 dev["sc_descs"][cur],
                 dev["sc_keys"][cur],
             )
-            prev = int(det.index)
+            # ONE packed pull of (index, yaw)
+            iy = np.asarray(
+                jnp.stack([det.index.astype(jnp.float32), det.yaw])
+            )
+            prev = int(iy[0])
             if prev >= 0 and prev != cur:
-                yaw = float(det.yaw)
+                yaw = float(iy[1])
                 prev_pose = store.poses[prev]
                 init = se3np.pose_compose(
                     prev_pose, np.asarray([0, 0, yaw, 0, 0, 0], np.float64)

@@ -18,7 +18,7 @@ import pickle
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import se3
+from ..core import se3, se3np
 from ..core.pointcloud import make_cloud
 from ..core.voxel import voxel_downsample
 from ..utils.pcdio import save_pcd
@@ -33,7 +33,8 @@ def global_map_points(store, max_points_per_kf: int | None = None) -> np.ndarray
         if max_points_per_kf:
             cloud = cloud[:max_points_per_kf]
         pose = store.poses[k]
-        R = np.asarray(se3.euler_to_rot(jnp.asarray(pose[:3], jnp.float32)))
+        # host-side euler->rot: avoids a device roundtrip per keyframe
+        R = se3np.euler_to_rot(pose[:3]).astype(np.float32)
         world = cloud @ R.T + pose[3:6]
         inten = np.full(len(world), float(k), np.float32)
         pts.append(np.concatenate([world, inten[:, None]], axis=1))

@@ -105,6 +105,9 @@ class SlamConfig:
     imu_window: int = 256
     grid_cell_size: float = 1.0
     graph_window: int = 16  # trailing-window incremental solve size
+    kf_capacity: int = 1024  # device-resident keyframe ring capacity
+    traj_capacity: int = 8192  # device-resident trajectory ring capacity
+    gps_capacity: int = 256  # device-resident GPS factor ring capacity
 
     @property
     def ext_rot(self) -> np.ndarray:

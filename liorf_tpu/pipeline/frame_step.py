@@ -52,6 +52,72 @@ class FrameOutputs(NamedTuple):
     sc_desc: jax.Array
     sc_key: jax.Array
     deskewed: jax.Array
+    # Packed buffers so the host needs exactly ONE small pull per frame
+    # (summary) plus ONE per keyframe (kf_payload): device->host pulls cost
+    # a full tunnel roundtrip each (~30 ms), so per-frame scalars must
+    # travel together.
+    summary: jax.Array  # [12] f32: pose(6), degenerate, converged, is_kf, num_matched, diverged, pad
+    kf_payload: jax.Array  # [scan_cap*4 + 20*60 + 20] f32: ds_xyz, ds_mask, sc_desc, sc_key
+
+
+def _pack_summary(pose, degenerate, converged, is_kf, num_matched, diverged):
+    return jnp.concatenate(
+        [
+            pose.astype(jnp.float32),
+            jnp.stack(
+                [
+                    degenerate.astype(jnp.float32),
+                    converged.astype(jnp.float32),
+                    is_kf.astype(jnp.float32),
+                    num_matched.astype(jnp.float32),
+                    diverged.astype(jnp.float32),
+                    jnp.float32(0.0),
+                ]
+            ),
+        ]
+    )
+
+
+def _pack_kf_payload(ds_xyz, ds_mask, desc, key):
+    return jnp.concatenate(
+        [
+            ds_xyz.astype(jnp.float32).ravel(),
+            ds_mask.astype(jnp.float32),
+            desc.astype(jnp.float32).ravel(),
+            key.astype(jnp.float32),
+        ]
+    )
+
+
+def unpack_summary(s):
+    """Host-side: one pulled [12] f32 vector -> python scalars."""
+    import numpy as np
+
+    s = np.asarray(s)
+    return dict(
+        pose=s[:6].astype(np.float32),
+        degenerate=bool(s[6]),
+        converged=bool(s[7]),
+        is_kf=bool(s[8]),
+        num_matched=int(s[9]),
+        diverged=bool(s[10]),
+    )
+
+
+def unpack_kf_payload(p, scan_cap: int):
+    """Host-side: one pulled flat f32 buffer -> (ds_xyz, ds_mask, desc, key)."""
+    import numpy as np
+
+    p = np.asarray(p)
+    o = 0
+    ds_xyz = p[o : o + scan_cap * 3].reshape(scan_cap, 3)
+    o += scan_cap * 3
+    ds_mask = p[o : o + scan_cap] > 0.5
+    o += scan_cap
+    desc = p[o : o + 20 * 60].reshape(20, 60)
+    o += 20 * 60
+    key = p[o : o + 20]
+    return ds_xyz, ds_mask, desc, key
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -149,6 +215,11 @@ def frame_step(
         sc_desc=desc,
         sc_key=key,
         deskewed=deskewed,
+        summary=_pack_summary(
+            pose, res.degenerate, res.converged, is_kf, res.num_matched,
+            step.diverged,
+        ),
+        kf_payload=_pack_kf_payload(ds_xyz, ds_mask, desc, key),
     )
 
 
@@ -166,4 +237,6 @@ def bootstrap_step(
     filt = imu_fusion.init_filter(
         se3.euler_to_rot(init_pose[:3]), init_pose[3:], params.fusion
     )
-    return ds_xyz, ds_mask, desc, key, filt, deskewed
+    return ds_xyz, ds_mask, desc, key, filt, deskewed, _pack_kf_payload(
+        ds_xyz, ds_mask, desc, key
+    )

@@ -1,0 +1,587 @@
+"""Device-resident SLAM pipeline: zero device->host pulls in steady state.
+
+The classic pipeline (``slam.LiorfPipeline``) pulls a per-frame summary to
+make keyframe decisions on the host. On a tunneled TPU, the FIRST pull
+permanently degrades the session to ~30 ms per dispatch, so the fast path
+keeps the ENTIRE SLAM state on device — fusion filter, keyframe rings,
+factor rings, local-map grid, trajectory ring — and advances it with ONE
+donated jit program per frame. The host only packs scan/IMU windows
+(numpy) and transfers them down; results are pulled once at the end.
+
+This is also the right TPU architecture independent of the tunnel: the
+10 Hz serial SLAM chain leaves no room for host round-trips, and every
+per-frame decision the reference makes on the CPU (keyframe gating
+``mapOptmization.cpp:1365-1384``, factor insertion ``:1386-1501``, iSAM
+update ``:1521-1531``, pose rewrite ``:1611-1642``, local-map extraction
+``:975-1058``) is a small data-parallel or masked computation that XLA
+executes as part of the same program.
+
+Loop closure (which needs the 1 Hz ICP verification path) currently runs
+through the classic pipeline; `ResidentPipeline` covers the odometry+GPS
+configuration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+from ..core.pointcloud import PAD_COORD
+from ..core.voxel import voxel_downsample_xyz
+from ..graph import pose_graph as pg
+from ..imu import fusion as imu_fusion
+from ..imu import preintegration as preint
+from ..mapping.keyframes import assemble_local_map
+from ..ops import knn, scancontext
+from ..ops.deskew import deskew_scan, integrate_gyro
+from ..ops.scan_match import scan_to_map
+from .frame_step import FrameParams
+from .slam import FrameResult, LiorfPipeline
+
+
+class ResidentParams(NamedTuple):
+    frame: FrameParams
+    # graph solve (static sizes/iterations)
+    graph_window: int
+    gn_iters: int = 4
+    pcg_iters: int = 64
+    # local map assembly
+    radius: float = 50.0
+    recent_seconds: float = 10.0
+    near_cap: int = 64
+    map_cap: int = 131072
+    map_leaf: float = 0.5
+    cell_size: float = 1.0
+    kf_cloud_cap: int = 8192
+    # gps
+    use_gps_elevation: bool = False
+
+
+class ResidentState(NamedTuple):
+    # fusion filter + keyframe gate
+    filt: imu_fusion.FusionFilter
+    last_kf_pose: jax.Array  # [6]
+    # keyframe rings
+    kf_poses: jax.Array  # [K, 6] rpyxyz (post-solve)
+    kf_times: jax.Array  # [K] rebased f32
+    kf_clouds: jax.Array  # [K, C, 3] sensor-frame downsampled clouds
+    kf_masks: jax.Array  # [K, C]
+    kf_count: jax.Array  # [] i32
+    # ScanContext database (device-side, for future in-graph loop search)
+    sc_descs: jax.Array  # [K, 20, 60]
+    sc_keys: jax.Array  # [K, 20]
+    # odometry chain factor measurements: edge k connects (k, k+1)
+    e_Rm: jax.Array  # [K, 3, 3]
+    e_tm: jax.Array  # [K, 3]
+    # gps factor ring
+    g_i: jax.Array  # [G] i32
+    g_t: jax.Array  # [G, 3]
+    g_sqrt: jax.Array  # [G, 3]
+    g_count: jax.Array  # [] i32
+    g_last: jax.Array  # [3] position of last accepted gps
+    # graph anchor
+    prior_R: jax.Array  # [3, 3]
+    prior_t: jax.Array  # [3]
+    # local map correspondence grid
+    grid: knn.SpatialHashGrid
+    # per-frame trajectory ring: pose(6), is_kf, degenerate, converged, num_matched
+    traj: jax.Array  # [T, 10]
+    traj_count: jax.Array  # [] i32
+
+
+def _chain_edge(prev_pose: jax.Array, new_pose: jax.Array):
+    """Between-factor measurement prev -> new from euler poses."""
+    Rp = se3.euler_to_rot(prev_pose[:3])
+    Rn = se3.euler_to_rot(new_pose[:3])
+    Rm = Rp.T @ Rn
+    tm = Rp.T @ (new_pose[3:] - prev_pose[3:])
+    return Rm, tm
+
+
+def _solve_graph_resident(state: ResidentState, params: ResidentParams, full):
+    """Windowed (or full, when `full`) GN relaxation over the kf rings.
+
+    The odometry-factor sqrt-information mirrors the reference's
+    odometryNoise (variances 1e-6 rot / 1e-4 trans,
+    mapOptmization.cpp:1390-1393)."""
+    K = state.kf_poses.shape[0]
+    G = state.g_i.shape[0]
+    idx = jnp.arange(K, dtype=jnp.int32)
+    count = state.kf_count
+    Rs = se3.euler_to_rot(state.kf_poses[:, :3])
+    ts = state.kf_poses[:, 3:6]
+    e_sqrt = jnp.concatenate(
+        [jnp.full((3,), 1.0e3, jnp.float32), jnp.full((3,), 1.0e2, jnp.float32)]
+    )
+    graph = pg.PoseGraph(
+        Rs=Rs,
+        ts=ts,
+        node_mask=idx < count,
+        e_i=idx,
+        e_j=jnp.minimum(idx + 1, K - 1),
+        e_Rm=state.e_Rm,
+        e_tm=state.e_tm,
+        e_sqrt_info=jnp.broadcast_to(e_sqrt, (K, 6)),
+        e_cauchy=jnp.zeros((K,), jnp.float32),
+        e_mask=(idx + 1) < count,
+        g_i=state.g_i,
+        g_t=state.g_t,
+        g_sqrt_info=state.g_sqrt,
+        g_mask=jnp.arange(G, dtype=jnp.int32) < state.g_count,
+        prior_i=jnp.asarray(0, jnp.int32),
+        prior_R=state.prior_R,
+        prior_t=state.prior_t,
+        prior_sqrt_info=jnp.full((6,), 1.0e2, jnp.float32),
+    )
+    free_from = jnp.where(
+        full, 0, jnp.maximum(0, count - params.graph_window)
+    ).astype(jnp.int32)
+    solved = pg.solve(
+        graph,
+        free_from=free_from,
+        params=pg.SolveParams(gn_iters=params.gn_iters, pcg_iters=params.pcg_iters),
+    )
+    rpy = se3.rot_to_euler(solved.Rs)
+    new_poses = jnp.concatenate([rpy, solved.ts], axis=-1).astype(jnp.float32)
+    keep = (idx < count)[:, None]
+    return jnp.where(keep, new_poses, state.kf_poses)
+
+
+def _insert_keyframe(state: ResidentState, params: ResidentParams, pose, now,
+                     ds_xyz, ds_mask, desc, key, gps_has, gps_enu, gps_sigma):
+    """Keyframe branch: ring appends + factors + solve + grid rebuild."""
+    K = state.kf_poses.shape[0]
+    C = params.kf_cloud_cap
+    k = jnp.minimum(state.kf_count, K - 1)  # clamp (ring full => overwrite last)
+
+    kf_poses = state.kf_poses.at[k].set(pose)
+    kf_times = state.kf_times.at[k].set(now)
+    kf_clouds = state.kf_clouds.at[k].set(ds_xyz[:C])
+    kf_masks = state.kf_masks.at[k].set(ds_mask[:C])
+    sc_descs = state.sc_descs.at[k].set(desc)
+    sc_keys = state.sc_keys.at[k].set(key)
+
+    # odometry chain factor (k-1 -> k); skipped for the first keyframe
+    prev_pose = state.kf_poses[jnp.maximum(k - 1, 0)]
+    Rm, tm = _chain_edge(prev_pose, pose)
+    has_prev = k > 0
+    e_Rm = state.e_Rm.at[jnp.maximum(k - 1, 0)].set(
+        jnp.where(has_prev, Rm, state.e_Rm[jnp.maximum(k - 1, 0)])
+    )
+    e_tm = state.e_tm.at[jnp.maximum(k - 1, 0)].set(
+        jnp.where(has_prev, tm, state.e_tm[jnp.maximum(k - 1, 0)])
+    )
+
+    # GPS factor (addGPSFactor gating that depends on device state:
+    # >=5 m spacing, elevation override; mapOptmization.cpp:1441-1476)
+    gz = jnp.where(params.use_gps_elevation, gps_enu[2], pose[5])
+    gsz = jnp.where(params.use_gps_elevation, gps_sigma[2], 0.1)
+    enu = jnp.stack([gps_enu[0], gps_enu[1], gz])
+    sig = jnp.maximum(jnp.stack([gps_sigma[0], gps_sigma[1], gsz]), 1.0)
+    far = jnp.linalg.norm(enu - state.g_last) >= 5.0
+    add_gps = gps_has & far & (state.g_count < state.g_i.shape[0])
+    gi = jnp.minimum(state.g_count, state.g_i.shape[0] - 1)
+    g_i = jnp.where(add_gps, state.g_i.at[gi].set(k), state.g_i)
+    g_t = jnp.where(add_gps, state.g_t.at[gi].set(enu), state.g_t)
+    g_sqrt = jnp.where(add_gps, state.g_sqrt.at[gi].set(1.0 / sig), state.g_sqrt)
+    g_count = state.g_count + add_gps.astype(jnp.int32)
+    g_last = jnp.where(add_gps, enu, state.g_last)
+
+    mid = state._replace(
+        kf_poses=kf_poses, kf_times=kf_times, kf_clouds=kf_clouds,
+        kf_masks=kf_masks, kf_count=jnp.minimum(state.kf_count + 1, K),
+        sc_descs=sc_descs, sc_keys=sc_keys, e_Rm=e_Rm, e_tm=e_tm,
+        g_i=g_i, g_t=g_t, g_sqrt=g_sqrt, g_count=g_count, g_last=g_last,
+    )
+
+    # graph relaxation (full batch when a GPS factor landed, matching the
+    # reference's extra isam updates on aLoopIsClosed, :1524-1531)
+    solved_poses = _solve_graph_resident(mid, params, full=add_gps)
+    new_pose = solved_poses[k]
+
+    grid = assemble_local_map(
+        solved_poses, mid.kf_clouds, mid.kf_masks, mid.kf_times, mid.kf_count,
+        new_pose[3:6], now,
+        radius=params.radius, recent_seconds=params.recent_seconds,
+        near_cap=params.near_cap, map_cap=params.map_cap,
+        leaf=params.map_leaf, cell_size=params.cell_size,
+    )
+    return mid._replace(
+        kf_poses=solved_poses, last_kf_pose=new_pose, grid=grid
+    ), new_pose
+
+
+@partial(jax.jit, static_argnames=("params",), donate_argnums=(0,))
+def resident_step(
+    state: ResidentState,
+    # scan
+    xyz: jax.Array, rel_t: jax.Array, mask: jax.Array, scan_start: jax.Array,
+    # deskew IMU window
+    dk_times: jax.Array, dk_gyr: jax.Array, dk_mask: jax.Array,
+    # fusion IMU window
+    fu_acc: jax.Array, fu_gyr: jax.Array, fu_dts: jax.Array, fu_mask: jax.Array,
+    # 9-axis attitude (zeros + False when unavailable)
+    imu_rpy: jax.Array, imu_rpy_ok: jax.Array,
+    # gps candidate (pre-gated host-side for time/cov)
+    gps_has: jax.Array, gps_enu: jax.Array, gps_sigma: jax.Array,
+    params: ResidentParams,
+) -> ResidentState:
+    fp = params.frame
+
+    # --- front-end: deskew + downsample ---
+    tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
+    deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
+    ds_xyz, ds_mask = voxel_downsample_xyz(deskewed, mask, fp.leaf, fp.scan_cap)
+
+    # --- IMU preintegration -> initial guess ---
+    pre = preint.preintegrate(
+        fu_acc, fu_gyr, fu_dts, fu_mask, state.filt.mean.ba, state.filt.mean.bg,
+        fp.fusion.imu,
+    )
+    nav = preint.predict(
+        preint.NavState(R=state.filt.mean.R, p=state.filt.mean.p, v=state.filt.mean.v),
+        pre, state.filt.mean.ba, state.filt.mean.bg, fp.fusion.imu,
+    )
+    guess = jnp.concatenate([se3.rot_to_euler(nav.R), nav.p])
+
+    # --- scan-to-map registration ---
+    res = scan_to_map(ds_xyz, ds_mask, state.grid, guess, fp.match)
+    pose = res.pose
+    if fp.imu_rpy_weight > 0:
+        w = fp.imu_rpy_weight
+        roll_s = se3.euler_slerp(
+            jnp.array([pose[0], 0.0, 0.0]), jnp.array([imu_rpy[0], 0.0, 0.0]), w
+        )[0]
+        pitch_s = se3.euler_slerp(
+            jnp.array([0.0, pose[1], 0.0]), jnp.array([0.0, imu_rpy[1], 0.0]), w
+        )[1]
+        use = imu_rpy_ok & (jnp.abs(imu_rpy[1]) < 1.4)
+        pose = pose.at[0].set(jnp.where(use, roll_s, pose[0]))
+        pose = pose.at[1].set(jnp.where(use, pitch_s, pose[1]))
+    pose = pose.at[0].set(jnp.clip(pose[0], -fp.rot_tol, fp.rot_tol))
+    pose = pose.at[1].set(jnp.clip(pose[1], -fp.rot_tol, fp.rot_tol))
+    pose = pose.at[5].set(jnp.clip(pose[5], -fp.z_tol, fp.z_tol))
+
+    # --- fusion correction + divergence reinit ---
+    R_l = se3.euler_to_rot(pose[:3])
+    step = imu_fusion.fusion_step(
+        state.filt, pre, R_l, pose[3:], res.degenerate, fp.fusion
+    )
+    fresh = imu_fusion.init_filter(R_l, pose[3:], fp.fusion)
+    new_filt = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(step.diverged, a, b), fresh, step.filter
+    )
+    state = state._replace(filt=new_filt)
+
+    # --- keyframe gate (saveFrame, :1365-1384) ---
+    rel = se3.pose_between(state.last_kf_pose, pose)
+    is_kf = (jnp.abs(rel[:3]) > fp.kf_angle).any() | (
+        jnp.linalg.norm(rel[3:]) > fp.kf_dist
+    )
+
+    desc = scancontext.make_descriptor(deskewed, mask)
+    key = scancontext.ring_key(desc)
+    now = scan_start
+
+    def kf_branch(st):
+        new_st, new_pose = _insert_keyframe(
+            st, params, pose, now, ds_xyz, ds_mask, desc, key,
+            gps_has, gps_enu, gps_sigma,
+        )
+        return new_st, new_pose
+
+    def no_kf(st):
+        return st, pose
+
+    state, out_pose = jax.lax.cond(is_kf, kf_branch, no_kf, state)
+
+    # --- trajectory ring append ---
+    T = state.traj.shape[0]
+    t_i = jnp.minimum(state.traj_count, T - 1)
+    entry = jnp.concatenate(
+        [
+            out_pose.astype(jnp.float32),
+            jnp.stack(
+                [
+                    is_kf.astype(jnp.float32),
+                    res.degenerate.astype(jnp.float32),
+                    res.converged.astype(jnp.float32),
+                    res.num_matched.astype(jnp.float32),
+                ]
+            ),
+        ]
+    )
+    return state._replace(
+        traj=state.traj.at[t_i].set(entry),
+        traj_count=jnp.minimum(state.traj_count + 1, T),
+    )
+
+
+def make_initial_state(
+    cfg, params: ResidentParams,
+    xyz: np.ndarray, rel_t: np.ndarray, mask: np.ndarray, scan_start: float,
+    dk_times: np.ndarray, dk_gyr: np.ndarray, dk_mask: np.ndarray,
+    init_pose: np.ndarray,
+) -> ResidentState:
+    """Host wrapper: builds the bootstrap state via one jit call."""
+    return _bootstrap_impl(
+        jnp.asarray(xyz), jnp.asarray(rel_t), jnp.asarray(mask),
+        jnp.asarray(np.float32(scan_start)),
+        jnp.asarray(dk_times), jnp.asarray(dk_gyr), jnp.asarray(dk_mask),
+        jnp.asarray(init_pose, dtype=jnp.float32),
+        (cfg.kf_capacity, cfg.traj_capacity, cfg.gps_capacity), params,
+    )
+
+
+@partial(jax.jit, static_argnames=("caps", "params"))
+def _bootstrap_impl(
+    xyz, rel_t, mask, scan_start, dk_times, dk_gyr, dk_mask, init_pose,
+    caps, params: ResidentParams,
+) -> ResidentState:
+    K, T, G = caps
+    fp = params.frame
+    C = params.kf_cloud_cap
+
+    tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
+    deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
+    ds_xyz, ds_mask = voxel_downsample_xyz(deskewed, mask, fp.leaf, fp.scan_cap)
+    desc = scancontext.make_descriptor(deskewed, mask)
+    key = scancontext.ring_key(desc)
+    R0 = se3.euler_to_rot(init_pose[:3])
+    filt = imu_fusion.init_filter(R0, init_pose[3:], fp.fusion)
+
+    kf_poses = jnp.zeros((K, 6), jnp.float32).at[0].set(init_pose)
+    kf_times = jnp.zeros((K,), jnp.float32).at[0].set(scan_start)
+    kf_clouds = jnp.full((K, C, 3), PAD_COORD, jnp.float32).at[0].set(ds_xyz[:C])
+    kf_masks = jnp.zeros((K, C), bool).at[0].set(ds_mask[:C])
+    sc_descs = jnp.zeros((K, 20, 60), jnp.float32).at[0].set(desc)
+    sc_keys = jnp.zeros((K, 20), jnp.float32).at[0].set(key)
+
+    grid = assemble_local_map(
+        kf_poses, kf_clouds, kf_masks, kf_times, jnp.asarray(1, jnp.int32),
+        init_pose[3:6], scan_start,
+        radius=params.radius, recent_seconds=params.recent_seconds,
+        near_cap=params.near_cap, map_cap=params.map_cap,
+        leaf=params.map_leaf, cell_size=params.cell_size,
+    )
+
+    entry = jnp.concatenate(
+        [init_pose.astype(jnp.float32), jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32)]
+    )
+    return ResidentState(
+        filt=filt,
+        last_kf_pose=init_pose.astype(jnp.float32),
+        kf_poses=kf_poses,
+        kf_times=kf_times,
+        kf_clouds=kf_clouds,
+        kf_masks=kf_masks,
+        kf_count=jnp.asarray(1, jnp.int32),
+        sc_descs=sc_descs,
+        sc_keys=sc_keys,
+        e_Rm=jnp.tile(jnp.eye(3, dtype=jnp.float32), (K, 1, 1)),
+        e_tm=jnp.zeros((K, 3), jnp.float32),
+        g_i=jnp.zeros((G,), jnp.int32),
+        g_t=jnp.zeros((G, 3), jnp.float32),
+        g_sqrt=jnp.ones((G, 3), jnp.float32),
+        g_count=jnp.asarray(0, jnp.int32),
+        g_last=jnp.full((3,), -1.0e9, jnp.float32),
+        prior_R=R0,
+        prior_t=init_pose[3:].astype(jnp.float32),
+        grid=grid,
+        traj=jnp.zeros((T, 10), jnp.float32).at[0].set(entry),
+        traj_count=jnp.asarray(1, jnp.int32),
+    )
+
+
+class ResidentPipeline(LiorfPipeline):
+    """Zero-pull streaming pipeline (odometry + GPS configurations).
+
+    Same input API as LiorfPipeline; per-frame results stay on device.
+    ``process_scan`` returns a stamp-only FrameResult; call
+    ``trajectory_arrays()`` / ``save_tum()`` / ``sync_store()`` after the
+    run (each triggers the one end-of-run pull)."""
+
+    def __init__(self, cfg):
+        if cfg.loopClosureEnableFlag:
+            raise ValueError(
+                "ResidentPipeline does not run the ICP loop-closure thread yet; "
+                "use LiorfPipeline (or make_pipeline) for loop-closure configs."
+            )
+        super().__init__(cfg)
+        self.state: ResidentState | None = None
+        self.params = ResidentParams(
+            frame=self.frame_params,
+            graph_window=cfg.graph_window,
+            radius=cfg.surroundingKeyframeSearchRadius,
+            near_cap=cfg.near_kf_capacity,
+            map_cap=cfg.map_capacity,
+            map_leaf=cfg.surroundingKeyframeMapLeafSize,
+            cell_size=cfg.grid_cell_size,
+            kf_cloud_cap=cfg.kf_cloud_capacity,
+            use_gps_elevation=cfg.useGpsElevation,
+        )
+        self._synced = False
+
+    # -- per-frame ----------------------------------------------------
+    def process_scan(self, scan) -> FrameResult:
+        cfg = self.cfg
+        t0, t1 = scan.stamp, scan.end_time
+        base = self._time_base(t0)
+        xyz, rts, msk = self._pack_scan(scan)
+        dk_t, _, dk_gyr, _, dk_m, _ = self._imu_window(
+            t0 - 0.01, t1 + 0.01, cfg.imu_window
+        )
+        scan_start = np.float32(t0 - base)
+        imu_rpy, imu_rpy_ok = self._attitude_at(t0)
+        rpy_np = (
+            np.asarray(imu_rpy, np.float32) if imu_rpy_ok else np.zeros(3, np.float32)
+        )
+
+        if self.state is None:
+            init_pose = self.last_pose.copy()
+            if imu_rpy_ok:
+                init_pose[0] = imu_rpy[0]
+                init_pose[1] = imu_rpy[1]
+                init_pose[2] = imu_rpy[2] if cfg.useImuHeadingInitialization else 0.0
+            self.state = make_initial_state(
+                cfg, self.params, xyz, rts, msk, float(scan_start),
+                dk_t, dk_gyr, dk_m, init_pose.astype(np.float32),
+            )
+        else:
+            _, fu_acc, fu_gyr, fu_dts, fu_m, _ = self._imu_window(
+                self.last_scan_stamp, t0, cfg.imu_window
+            )
+            gps_has, gps_enu, gps_sigma = self._gps_candidate(t0)
+            self.state = resident_step(
+                self.state,
+                jnp.asarray(xyz), jnp.asarray(rts), jnp.asarray(msk),
+                jnp.asarray(scan_start),
+                jnp.asarray(dk_t), jnp.asarray(dk_gyr), jnp.asarray(dk_m),
+                jnp.asarray(fu_acc), jnp.asarray(fu_gyr), jnp.asarray(fu_dts),
+                jnp.asarray(fu_m),
+                jnp.asarray(rpy_np), jnp.asarray(bool(imu_rpy_ok)),
+                jnp.asarray(bool(gps_has)), jnp.asarray(gps_enu),
+                jnp.asarray(gps_sigma),
+                self.params,
+            )
+        self.last_scan_stamp = t0
+        self._stamps = getattr(self, "_stamps", [])
+        self._stamps.append(t0)
+        self.frame_idx += 1
+        self._synced = False
+        return FrameResult(
+            stamp=t0, pose=None, degenerate=False, is_keyframe=False, num_matched=0
+        )
+
+    def _gps_candidate(self, stamp: float):
+        """Host half of addGPSFactor gating: time alignment +-0.2 s and the
+        covariance threshold (mapOptmization.cpp:1425-1445). The
+        state-dependent half (spacing, elevation) runs in-graph."""
+        cfg = self.cfg
+        while self.gps_queue:
+            ts, enu, cov = self.gps_queue[0]
+            if ts < stamp - 0.2:
+                self.gps_queue.pop(0)
+                continue
+            if ts > stamp + 0.2:
+                break
+            self.gps_queue.pop(0)
+            if cov[0] > cfg.gpsCovThreshold or cov[1] > cfg.gpsCovThreshold:
+                continue
+            if abs(enu[0]) < 1e-6 and abs(enu[1]) < 1e-6:
+                continue
+            sig = np.sqrt(np.maximum([cov[0], cov[1], cov[2]], 1.0)).astype(np.float32)
+            return True, np.asarray(enu, np.float32), sig
+        return False, np.zeros(3, np.float32), np.ones(3, np.float32)
+
+    def block(self):
+        """Wait for all enqueued device work (benchmark timing barrier).
+
+        Does NOT pull any data — safe for the tunnel fast path."""
+        if self.state is not None:
+            import jax as _jax
+
+            _jax.block_until_ready(self.state.traj_count)
+
+    # -- end-of-run sync ----------------------------------------------
+    def sync(self):
+        """ONE batched pull of trajectory + keyframe state into host arrays."""
+        if self._synced or self.state is None:
+            return
+        st = self.state
+        packed = np.asarray(
+            jnp.concatenate(
+                [
+                    st.traj.reshape(-1),
+                    st.traj_count.astype(jnp.float32)[None],
+                    st.kf_count.astype(jnp.float32)[None],
+                    st.kf_poses.reshape(-1),
+                    st.kf_times.reshape(-1),
+                ]
+            )
+        )
+        T = st.traj.shape[0]
+        K = st.kf_poses.shape[0]
+        o = 0
+        traj = packed[: T * 10].reshape(T, 10)
+        o = T * 10
+        n_traj = int(packed[o]); o += 1
+        n_kf = int(packed[o]); o += 1
+        kf_poses = packed[o : o + K * 6].reshape(K, 6); o += K * 6
+        kf_times = packed[o : o + K]
+
+        base = self._time_base_val or 0.0
+        self.trajectory = [
+            FrameResult(
+                stamp=self._stamps[i] if i < len(self._stamps) else base + float(i),
+                pose=traj[i, :6].copy(),
+                degenerate=bool(traj[i, 7]),
+                is_keyframe=bool(traj[i, 6]),
+                num_matched=int(traj[i, 9]),
+            )
+            for i in range(n_traj)
+        ]
+        # host keyframe store mirror (poses/times only; clouds pulled lazily
+        # by sync_store when export needs them)
+        self.store.count = n_kf
+        while self.store.kf_cap < max(n_kf, 1):
+            self.store._grow()
+        self.store.poses[:n_kf] = kf_poses[:n_kf]
+        self.store.times[:n_kf] = kf_times[:n_kf].astype(np.float64) + base
+        self._synced = True
+
+    def sync_store(self):
+        """Additionally pull keyframe clouds + SC database (for map export)."""
+        self.sync()
+        st = self.state
+        n_kf = self.store.count
+        clouds = np.asarray(st.kf_clouds[:n_kf])
+        masks = np.asarray(st.kf_masks[:n_kf])
+        descs = np.asarray(st.sc_descs[:n_kf])
+        keys = np.asarray(st.sc_keys[:n_kf])
+        self.store.clouds[:n_kf, : clouds.shape[1]] = clouds
+        self.store.cloud_masks[:n_kf, : masks.shape[1]] = masks
+        self.store.sc_descs[:n_kf] = descs
+        self.store.sc_keys[:n_kf] = keys
+        self.store.invalidate_device()
+
+    def trajectory_arrays(self):
+        self.sync()
+        return super().trajectory_arrays()
+
+    def keyframe_trajectory(self):
+        self.sync()
+        return super().keyframe_trajectory()
+
+
+def make_pipeline(cfg):
+    """Pick the fastest pipeline that supports the config: device-resident
+    (zero-pull) when no loop closure is requested, classic otherwise."""
+    if cfg.loopClosureEnableFlag:
+        return LiorfPipeline(cfg)
+    return ResidentPipeline(cfg)

@@ -28,7 +28,13 @@ from ..mapping.keyframes import KeyframeStore, assemble_local_map
 from ..ops.scan_match import ScanMatchParams
 from ..sensors.types import GpsFix, ImuSample, LidarScan
 from .config import SlamConfig
-from .frame_step import FrameParams, bootstrap_step, frame_step
+from .frame_step import (
+    FrameParams,
+    bootstrap_step,
+    frame_step,
+    unpack_kf_payload,
+    unpack_summary,
+)
 from ..core.geodesy import LocalCartesian
 
 
@@ -230,7 +236,7 @@ class LiorfPipeline:
                 init_pose[0] = imu_rpy[0]
                 init_pose[1] = imu_rpy[1]
                 init_pose[2] = imu_rpy[2] if cfg.useImuHeadingInitialization else 0.0
-            ds_xyz, ds_mask, desc, key, filt, deskewed = bootstrap_step(
+            ds_xyz, ds_mask, desc, key, filt, deskewed, payload = bootstrap_step(
                 xyz, rts, msk, scan_start, dk_t, dk_gyr, dk_m,
                 jnp.asarray(init_pose), self.frame_params,
             )
@@ -238,7 +244,7 @@ class LiorfPipeline:
             pose = init_pose
             degenerate, converged, num_matched = False, True, 0
             is_kf = True
-            out_kf = (ds_xyz, ds_mask, desc, key)
+            out_kf = payload
         else:
             _, fu_acc, fu_gyr, fu_dts, fu_m, _ = self._imu_window(
                 self.last_scan_stamp, t0, cfg.imu_window
@@ -256,26 +262,19 @@ class LiorfPipeline:
                 jnp.asarray(self.store.poses[self.store.count - 1]),
                 self.frame_params, rpy_arg, ok_arg,
             )
-            # ONE small pull for the per-frame scalars
-            pose, flags = np.array(out.pose), np.asarray(
-                jnp.stack(
-                    [
-                        out.degenerate,
-                        out.converged,
-                        out.is_kf,
-                        out.num_matched.astype(jnp.float32),
-                    ]
-                )
-            )
-            degenerate = bool(flags[0])
-            converged = bool(flags[1])
-            is_kf = bool(flags[2])
-            num_matched = int(flags[3])
+            # ONE pull for the per-frame scalars (packed in-graph): every
+            # device->host pull is a full tunnel roundtrip.
+            s = unpack_summary(out.summary)
+            pose = s["pose"]
+            degenerate = s["degenerate"]
+            converged = s["converged"]
+            is_kf = s["is_kf"]
+            num_matched = s["num_matched"]
             self.filter = out.filter
-            out_kf = (out.ds_xyz, out.ds_mask, out.sc_desc, out.sc_key)
+            out_kf = out.kf_payload
 
         if is_kf:
-            self._add_keyframe(pose, t0, *out_kf)
+            self._add_keyframe(pose, t0, out_kf)
 
         self.last_pose = pose
         self.last_scan_stamp = t0
@@ -297,12 +296,13 @@ class LiorfPipeline:
     # ------------------------------------------------------------------
     # keyframe back-end
     # ------------------------------------------------------------------
-    def _add_keyframe(self, pose, stamp, ds_xyz, ds_mask, desc, key):
-        # pull the keyframe payload (only on keyframe events)
-        ds_xyz_np = np.asarray(ds_xyz)
-        ds_mask_np = np.asarray(ds_mask)
+    def _add_keyframe(self, pose, stamp, payload):
+        # ONE pull of the packed keyframe payload (only on keyframe events)
+        ds_xyz_np, ds_mask_np, desc_np, key_np = unpack_kf_payload(
+            payload, self.cfg.scan_capacity
+        )
         new_idx = self.store.append(
-            pose, stamp, ds_xyz_np, ds_mask_np, np.asarray(desc), np.asarray(key)
+            pose, stamp, ds_xyz_np, ds_mask_np, desc_np, key_np
         )
 
         loop_or_gps = False
@@ -433,9 +433,12 @@ class LiorfPipeline:
             else pg.SolveParams(gn_iters=3, pcg_iters=32)
         )
         solved = pg.solve(g, free_from=jnp.asarray(free_from, jnp.int32), params=params)
-        # single pull of the solved block
-        Rs_np = np.asarray(solved.Rs[:k])
-        ts_np = np.asarray(solved.ts[:k])
+        # ONE pull of the solved block (Rs and ts packed together)
+        packed = np.asarray(
+            jnp.concatenate([solved.Rs[:k].reshape(-1), solved.ts[:k].reshape(-1)])
+        )
+        Rs_np = packed[: k * 9].reshape(k, 3, 3)
+        ts_np = packed[k * 9 :].reshape(k, 3)
         rpy = se3np.rot_to_euler(Rs_np)
         self.store.update_poses(
             np.concatenate([rpy, ts_np], axis=1).astype(np.float32)

@@ -15,6 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..core import se3np
 from .types import GpsFix, ImuSample, LidarScan
 
 
@@ -194,10 +195,9 @@ class SyntheticDataset:
             R1, p1 = self.pose_at(round(t + dt, 6))
             Rm, pm = self.pose_at(round(t + dt / 2, 6))
             # body rates from finite rotation; specific force from acceleration
-            from ..core import se3 as _se3
-            import jax.numpy as _jnp
-
-            w = np.asarray(_se3.so3_log(_jnp.asarray(R0.T @ R1, _jnp.float32))) / dt
+            # (host-side so3_log: an eager device call per sample would cost a
+            # tunnel roundtrip each and wreck session throughput)
+            w = se3np.so3_log(R0.T @ R1) / dt
             a_w = (p1 - 2 * pm + p0) / (dt / 2) ** 2
             acc_body = Rm.T @ (a_w - g_w)
             samples.append(
