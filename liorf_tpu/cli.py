@@ -47,10 +47,11 @@ def cmd_run(args):
     jax.config.update("jax_default_matmul_precision", "highest")
 
     from .mapping.export import save_checkpoint, save_map
-    from .pipeline import LiorfPipeline, SlamConfig, load_config
+    from .pipeline import SlamConfig, load_config, make_pipeline
 
     cfg = load_config(args.config) if args.config else SlamConfig()
-    pipe = LiorfPipeline(cfg)
+    # device-resident (zero-pull) pipeline when the config allows it
+    pipe = make_pipeline(cfg)
 
     ds, imu, gps = _make_dataset(args)
     n = len(ds) if hasattr(ds, "__len__") else args.frames
@@ -68,13 +69,18 @@ def cmd_run(args):
             gi += 1
         res = pipe.process_scan(scan)
         if args.verbose and f % 10 == 0:
-            print(
-                f"[{f}/{n}] pose={np.round(res.pose[3:], 2)} kf={res.is_keyframe}",
-                file=sys.stderr,
+            # resident pipeline keeps results on device (pose=None)
+            pose_txt = (
+                np.round(res.pose[3:], 2) if res.pose is not None else "(on device)"
             )
+            print(f"[{f}/{n}] pose={pose_txt} kf={res.is_keyframe}", file=sys.stderr)
+    if hasattr(pipe, "block"):
+        pipe.block()  # drain async device work before stopping the clock
     elapsed = time.perf_counter() - t0
 
     os.makedirs(args.out, exist_ok=True)
+    if hasattr(pipe, "sync_store"):
+        pipe.sync_store()  # pull keyframe clouds for export (one-time)
     pipe.save_tum(os.path.join(args.out, "trajectory_tum.txt"))
     if args.save_map:
         save_map(pipe, args.out, resolution=args.resolution)

@@ -553,6 +553,9 @@ class ResidentPipeline(LiorfPipeline):
             self.store._grow()
         self.store.poses[:n_kf] = kf_poses[:n_kf]
         self.store.times[:n_kf] = kf_times[:n_kf].astype(np.float64) + base
+        # expose the fusion filter for checkpoint export (device handles;
+        # save_checkpoint pulls them as part of its one-time export)
+        self.filter = st.filt
         self._synced = True
 
     def sync_store(self):
