@@ -108,6 +108,7 @@ class SlamConfig:
     kf_capacity: int = 1024  # device-resident keyframe ring capacity
     traj_capacity: int = 8192  # device-resident trajectory ring capacity
     gps_capacity: int = 256  # device-resident GPS factor ring capacity
+    loop_capacity: int = 128  # device-resident loop-factor ring capacity
 
     @property
     def ext_rot(self) -> np.ndarray:

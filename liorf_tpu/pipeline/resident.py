@@ -16,9 +16,10 @@ update ``:1521-1531``, pose rewrite ``:1611-1642``, local-map extraction
 ``:975-1058``) is a small data-parallel or masked computation that XLA
 executes as part of the same program.
 
-Loop closure (which needs the 1 Hz ICP verification path) currently runs
-through the classic pipeline; `ResidentPipeline` covers the odometry+GPS
-configuration.
+Loop closure also runs in-graph: RS radius search + ScanContext detection,
+world-frame submap fusion, ICP verification, and loop factors feed the
+same device-resident pose graph at the configured 1 Hz cadence — the
+reference's loop *thread* becomes a conditionally-executed subgraph.
 """
 
 from __future__ import annotations
@@ -60,6 +61,15 @@ class ResidentParams(NamedTuple):
     kf_cloud_cap: int = 8192
     # gps
     use_gps_elevation: bool = False
+    # loop closure (in-graph; statically excluded when disabled)
+    loop_enabled: bool = False
+    loop_search_radius: float = 15.0
+    loop_time_diff: float = 30.0
+    loop_submap_halfwidth: int = 25
+    loop_icp_leaf: float = 0.5
+    loop_fitness_thresh: float = 0.3
+    loop_icp_cap: int = 16384
+    loop_icp_iters: int = 30
 
 
 class ResidentState(NamedTuple):
@@ -84,6 +94,15 @@ class ResidentState(NamedTuple):
     g_sqrt: jax.Array  # [G, 3]
     g_count: jax.Array  # [] i32
     g_last: jax.Array  # [3] position of last accepted gps
+    # loop-closure factor ring
+    l_i: jax.Array  # [L] i32 earlier keyframe
+    l_j: jax.Array  # [L] i32 later keyframe
+    l_Rm: jax.Array  # [L, 3, 3]
+    l_tm: jax.Array  # [L, 3]
+    l_sqrt: jax.Array  # [L, 6]
+    l_cauchy: jax.Array  # [L]
+    l_count: jax.Array  # [] i32
+    kf_has_loop: jax.Array  # [K] bool (loop_index_container equivalent)
     # graph anchor
     prior_R: jax.Array  # [3, 3]
     prior_t: jax.Array  # [3]
@@ -111,6 +130,7 @@ def _solve_graph_resident(state: ResidentState, params: ResidentParams, full):
     mapOptmization.cpp:1390-1393)."""
     K = state.kf_poses.shape[0]
     G = state.g_i.shape[0]
+    L = state.l_i.shape[0]
     idx = jnp.arange(K, dtype=jnp.int32)
     count = state.kf_count
     Rs = se3.euler_to_rot(state.kf_poses[:, :3])
@@ -118,17 +138,25 @@ def _solve_graph_resident(state: ResidentState, params: ResidentParams, full):
     e_sqrt = jnp.concatenate(
         [jnp.full((3,), 1.0e3, jnp.float32), jnp.full((3,), 1.0e2, jnp.float32)]
     )
+    # edges = odometry chain (K slots) ++ loop factors (L slots)
     graph = pg.PoseGraph(
         Rs=Rs,
         ts=ts,
         node_mask=idx < count,
-        e_i=idx,
-        e_j=jnp.minimum(idx + 1, K - 1),
-        e_Rm=state.e_Rm,
-        e_tm=state.e_tm,
-        e_sqrt_info=jnp.broadcast_to(e_sqrt, (K, 6)),
-        e_cauchy=jnp.zeros((K,), jnp.float32),
-        e_mask=(idx + 1) < count,
+        e_i=jnp.concatenate([idx, state.l_i]),
+        e_j=jnp.concatenate([jnp.minimum(idx + 1, K - 1), state.l_j]),
+        e_Rm=jnp.concatenate([state.e_Rm, state.l_Rm]),
+        e_tm=jnp.concatenate([state.e_tm, state.l_tm]),
+        e_sqrt_info=jnp.concatenate(
+            [jnp.broadcast_to(e_sqrt, (K, 6)), state.l_sqrt]
+        ),
+        e_cauchy=jnp.concatenate([jnp.zeros((K,), jnp.float32), state.l_cauchy]),
+        e_mask=jnp.concatenate(
+            [
+                (idx + 1) < count,
+                jnp.arange(L, dtype=jnp.int32) < state.l_count,
+            ]
+        ),
         g_i=state.g_i,
         g_t=state.g_t,
         g_sqrt_info=state.g_sqrt,
@@ -152,8 +180,133 @@ def _solve_graph_resident(state: ResidentState, params: ResidentParams, full):
     return jnp.where(keep, new_poses, state.kf_poses)
 
 
+def _try_loop_closure(state: ResidentState, params: ResidentParams, k, now):
+    """In-graph loop closure for the just-inserted keyframe `k`.
+
+    RS candidate first (radius + time-gap search over keyframe positions,
+    ``mapOptmization.cpp:732-765``), ScanContext fallback
+    (``Scancontext.cpp:253-344``); the chosen candidate is ICP-verified
+    against a +-halfwidth world-frame submap (``:821-844``, leaf 0.5) and
+    accepted under the fitness threshold (``:571-585``). Returns the loop
+    rings updated and a flag that a factor was added."""
+    from ..ops.icp import ICPParams, icp_point2point
+
+    K = state.kf_poses.shape[0]
+    C = state.kf_clouds.shape[1]
+    idx = jnp.arange(K, dtype=jnp.int32)
+    count = state.kf_count
+    cur_pose = state.kf_poses[k]
+
+    # --- RS candidate
+    pos = state.kf_poses[:, 3:6]
+    d = jnp.linalg.norm(pos - cur_pose[3:6], axis=-1)
+    rs_ok = (
+        (idx < count)
+        & (idx != k)
+        & (d <= params.loop_search_radius)
+        & ((now - state.kf_times) > params.loop_time_diff)
+    )
+    rs_cand = jnp.argmin(jnp.where(rs_ok, d, jnp.inf))
+    rs_found = rs_ok[rs_cand]
+
+    # --- SC candidate (only consulted when RS finds nothing)
+    det = scancontext.detect_loop(
+        state.sc_descs, state.sc_keys, count, state.sc_descs[k], state.sc_keys[k]
+    )
+    sc_found = (det.index >= 0) & (det.index != k)
+
+    use_sc = (~rs_found) & sc_found
+    found = rs_found | sc_found
+    cand = jnp.where(rs_found, rs_cand, jnp.maximum(det.index, 0)).astype(jnp.int32)
+
+    # --- submaps in world frame
+    def world_points(sel_idx, sel_ok):
+        poses = state.kf_poses[sel_idx]
+        Rw = se3.euler_to_rot(poses[:, :3])
+        tw = poses[:, 3:6]
+        pts = jnp.einsum("kij,kcj->kci", Rw, state.kf_clouds[sel_idx]) + tw[:, None, :]
+        m = state.kf_masks[sel_idx] & sel_ok[:, None]
+        pts = jnp.where(m[..., None], pts, PAD_COORD)
+        return pts.reshape(-1, 3), m.reshape(-1)
+
+    half = params.loop_submap_halfwidth
+    nbr = cand + jnp.arange(-half, half + 1, dtype=jnp.int32)
+    nbr_ok = (nbr >= 0) & (nbr < count)
+    nbr = jnp.clip(nbr, 0, K - 1)
+    prev_xyz, prev_m = world_points(nbr, nbr_ok)
+    prev_xyz, prev_m = voxel_downsample_xyz(
+        prev_xyz, prev_m, params.loop_icp_leaf, params.loop_icp_cap
+    )
+
+    cur_xyz, cur_m = world_points(
+        k[None], jnp.ones((1,), bool)
+    )
+    cur_xyz, cur_m = voxel_downsample_xyz(
+        cur_xyz, cur_m, params.loop_icp_leaf, params.loop_icp_cap
+    )
+    # SC init: pre-rotate the current submap by the estimated yaw about the
+    # candidate pose (the reference initializes ICP from the SC yaw)
+    cand_pose = state.kf_poses[cand]
+    yaw_pose = jnp.concatenate(
+        [jnp.stack([0.0, 0.0, det.yaw]), jnp.zeros(3)]
+    ).astype(jnp.float32)
+    init_pose = se3.pose_compose(cand_pose, yaw_pose)
+    Ri, ti = se3.euler_to_rot(init_pose[:3]), init_pose[3:]
+    Rc, tc = se3.euler_to_rot(cur_pose[:3]), cur_pose[3:]
+    # T_delta = init_world_pose o cur_pose^-1
+    Rd, td = se3.se3_compose(Ri, ti, Rc.T, -(Rc.T @ tc))
+    moved = cur_xyz @ Rd.T + td
+    src_xyz = jnp.where(use_sc, moved, cur_xyz)
+    src_xyz = jnp.where(cur_m[:, None], src_xyz, PAD_COORD)
+
+    n_cur = jnp.sum(cur_m.astype(jnp.int32))
+    n_prev = jnp.sum(prev_m.astype(jnp.int32))
+    gate = found & (n_cur >= 300) & (n_prev >= 1000) & ~state.kf_has_loop[k]
+
+    res = icp_point2point(
+        src_xyz, cur_m, prev_xyz, prev_m, jnp.zeros(6, jnp.float32),
+        ICPParams(
+            max_iters=params.loop_icp_iters,
+            max_corr_dist=params.loop_search_radius * 2.0,
+        ),
+    )
+    accept = gate & res.converged & (res.fitness <= params.loop_fitness_thresh)
+
+    # corrected world pose of the current keyframe: icp o (init or cur)
+    base = jnp.where(use_sc, init_pose, cur_pose)
+    corrected = se3.pose_compose(res.pose, base)
+    rel = se3.pose_between(state.kf_poses[cand], corrected)
+    Rm = se3.euler_to_rot(rel[:3])
+    tm = rel[3:]
+
+    # noise: SC loops get the constant robust model (var 0.5 + Cauchy 1,
+    # :711-726); RS loops fitness-scaled diagonal (:596-620)
+    sc_sigma = jnp.full((6,), jnp.sqrt(0.5), jnp.float32)
+    rs_sigma = jnp.full((6,), jnp.sqrt(jnp.maximum(res.fitness, 1e-4)), jnp.float32)
+    sigma = jnp.where(use_sc, sc_sigma, rs_sigma)
+    cauchy = jnp.where(use_sc, 1.0, 0.0)
+
+    L = state.l_i.shape[0]
+    li = jnp.minimum(state.l_count, L - 1)
+    can_add = accept & (state.l_count < L)
+    l_i = jnp.where(can_add, state.l_i.at[li].set(cand), state.l_i)
+    l_j = jnp.where(can_add, state.l_j.at[li].set(k), state.l_j)
+    l_Rm = jnp.where(can_add, state.l_Rm.at[li].set(Rm), state.l_Rm)
+    l_tm = jnp.where(can_add, state.l_tm.at[li].set(tm), state.l_tm)
+    l_sqrt = jnp.where(can_add, state.l_sqrt.at[li].set(1.0 / sigma), state.l_sqrt)
+    l_cauchy = jnp.where(can_add, state.l_cauchy.at[li].set(cauchy), state.l_cauchy)
+    return state._replace(
+        l_i=l_i, l_j=l_j, l_Rm=l_Rm, l_tm=l_tm, l_sqrt=l_sqrt, l_cauchy=l_cauchy,
+        l_count=state.l_count + can_add.astype(jnp.int32),
+        kf_has_loop=state.kf_has_loop.at[k].set(
+            state.kf_has_loop[k] | can_add
+        ),
+    ), can_add
+
+
 def _insert_keyframe(state: ResidentState, params: ResidentParams, pose, now,
-                     ds_xyz, ds_mask, desc, key, gps_has, gps_enu, gps_sigma):
+                     ds_xyz, ds_mask, desc, key, gps_has, gps_enu, gps_sigma,
+                     do_loop):
     """Keyframe branch: ring appends + factors + solve + grid rebuild."""
     K = state.kf_poses.shape[0]
     C = params.kf_cloud_cap
@@ -199,9 +352,24 @@ def _insert_keyframe(state: ResidentState, params: ResidentParams, pose, now,
         g_i=g_i, g_t=g_t, g_sqrt=g_sqrt, g_count=g_count, g_last=g_last,
     )
 
-    # graph relaxation (full batch when a GPS factor landed, matching the
-    # reference's extra isam updates on aLoopIsClosed, :1524-1531)
-    solved_poses = _solve_graph_resident(mid, params, full=add_gps)
+    # in-graph loop closure (1 Hz cadence gated by do_loop; statically
+    # compiled out for odometry-only configs)
+    loop_added = jnp.asarray(False)
+    if params.loop_enabled:
+        def run_loop(st):
+            return _try_loop_closure(st, params, k, now)
+
+        def skip_loop(st):
+            return st, jnp.asarray(False)
+
+        mid, loop_added = jax.lax.cond(
+            do_loop & (mid.kf_count > 2), run_loop, skip_loop, mid
+        )
+
+    # graph relaxation (full batch when a GPS factor or loop landed,
+    # matching the reference's extra isam updates on aLoopIsClosed,
+    # :1524-1531)
+    solved_poses = _solve_graph_resident(mid, params, full=add_gps | loop_added)
     new_pose = solved_poses[k]
 
     grid = assemble_local_map(
@@ -229,6 +397,8 @@ def resident_step(
     imu_rpy: jax.Array, imu_rpy_ok: jax.Array,
     # gps candidate (pre-gated host-side for time/cov)
     gps_has: jax.Array, gps_enu: jax.Array, gps_sigma: jax.Array,
+    # loop-closure cadence flag (host: ~1 Hz)
+    do_loop: jax.Array,
     params: ResidentParams,
 ) -> ResidentState:
     fp = params.frame
@@ -291,7 +461,7 @@ def resident_step(
     def kf_branch(st):
         new_st, new_pose = _insert_keyframe(
             st, params, pose, now, ds_xyz, ds_mask, desc, key,
-            gps_has, gps_enu, gps_sigma,
+            gps_has, gps_enu, gps_sigma, do_loop,
         )
         return new_st, new_pose
 
@@ -334,7 +504,7 @@ def make_initial_state(
         jnp.asarray(np.float32(scan_start)),
         jnp.asarray(dk_times), jnp.asarray(dk_gyr), jnp.asarray(dk_mask),
         jnp.asarray(init_pose, dtype=jnp.float32),
-        (cfg.kf_capacity, cfg.traj_capacity, cfg.gps_capacity), params,
+        (cfg.kf_capacity, cfg.traj_capacity, cfg.gps_capacity, cfg.loop_capacity), params,
     )
 
 
@@ -343,7 +513,7 @@ def _bootstrap_impl(
     xyz, rel_t, mask, scan_start, dk_times, dk_gyr, dk_mask, init_pose,
     caps, params: ResidentParams,
 ) -> ResidentState:
-    K, T, G = caps
+    K, T, G, L = caps
     fp = params.frame
     C = params.kf_cloud_cap
 
@@ -390,6 +560,14 @@ def _bootstrap_impl(
         g_sqrt=jnp.ones((G, 3), jnp.float32),
         g_count=jnp.asarray(0, jnp.int32),
         g_last=jnp.full((3,), -1.0e9, jnp.float32),
+        l_i=jnp.zeros((L,), jnp.int32),
+        l_j=jnp.zeros((L,), jnp.int32),
+        l_Rm=jnp.tile(jnp.eye(3, dtype=jnp.float32), (L, 1, 1)),
+        l_tm=jnp.zeros((L, 3), jnp.float32),
+        l_sqrt=jnp.ones((L, 6), jnp.float32),
+        l_cauchy=jnp.zeros((L,), jnp.float32),
+        l_count=jnp.asarray(0, jnp.int32),
+        kf_has_loop=jnp.zeros((K,), bool),
         prior_R=R0,
         prior_t=init_pose[3:].astype(jnp.float32),
         grid=grid,
@@ -407,11 +585,6 @@ class ResidentPipeline(LiorfPipeline):
     run (each triggers the one end-of-run pull)."""
 
     def __init__(self, cfg):
-        if cfg.loopClosureEnableFlag:
-            raise ValueError(
-                "ResidentPipeline does not run the ICP loop-closure thread yet; "
-                "use LiorfPipeline (or make_pipeline) for loop-closure configs."
-            )
         super().__init__(cfg)
         self.state: ResidentState | None = None
         self.params = ResidentParams(
@@ -424,6 +597,12 @@ class ResidentPipeline(LiorfPipeline):
             cell_size=cfg.grid_cell_size,
             kf_cloud_cap=cfg.kf_cloud_capacity,
             use_gps_elevation=cfg.useGpsElevation,
+            loop_enabled=bool(cfg.loopClosureEnableFlag),
+            loop_search_radius=cfg.historyKeyframeSearchRadius,
+            loop_time_diff=cfg.historyKeyframeSearchTimeDiff,
+            loop_submap_halfwidth=cfg.historyKeyframeSearchNum,
+            loop_icp_leaf=cfg.loopClosureICPSurfLeafSize,
+            loop_fitness_thresh=cfg.historyKeyframeFitnessScore,
         )
         self._synced = False
 
@@ -457,6 +636,10 @@ class ResidentPipeline(LiorfPipeline):
                 self.last_scan_stamp, t0, cfg.imu_window
             )
             gps_has, gps_enu, gps_sigma = self._gps_candidate(t0)
+            do_loop = (
+                self.cfg.loopClosureEnableFlag
+                and self.frame_idx % self.loop_every_frames == 0
+            )
             self.state = resident_step(
                 self.state,
                 jnp.asarray(xyz), jnp.asarray(rts), jnp.asarray(msk),
@@ -467,6 +650,7 @@ class ResidentPipeline(LiorfPipeline):
                 jnp.asarray(rpy_np), jnp.asarray(bool(imu_rpy_ok)),
                 jnp.asarray(bool(gps_has)), jnp.asarray(gps_enu),
                 jnp.asarray(gps_sigma),
+                jnp.asarray(bool(do_loop)),
                 self.params,
             )
         self.last_scan_stamp = t0
@@ -583,8 +767,7 @@ class ResidentPipeline(LiorfPipeline):
 
 
 def make_pipeline(cfg):
-    """Pick the fastest pipeline that supports the config: device-resident
-    (zero-pull) when no loop closure is requested, classic otherwise."""
-    if cfg.loopClosureEnableFlag:
-        return LiorfPipeline(cfg)
+    """The device-resident (zero-pull) pipeline covers every config —
+    odometry, GPS, and in-graph loop closure. The classic host-orchestrated
+    ``LiorfPipeline`` remains for per-frame host access to results."""
     return ResidentPipeline(cfg)

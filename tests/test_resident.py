@@ -82,3 +82,39 @@ def test_resident_keyframes_and_sync_store(syn, small_cfg):
     assert np.isfinite(rp.store.poses[: rp.store.count]).all()
     # clouds pulled: at least the first keyframe has valid points
     assert rp.store.cloud_masks[0].sum() > 100
+
+
+def test_resident_loop_closure():
+    """A tight circular trajectory revisits itself: the in-graph RS/SC loop
+    detection + ICP verification must add at least one loop factor."""
+    import jax.numpy as jnp
+
+    syn = SyntheticDataset(
+        SyntheticConfig(
+            n_frames=48, n_rings=16, points_per_ring=360, speed=3.0, yaw_rate=1.5
+        )
+    )
+    cfg = SlamConfig(
+        scan_capacity=4096,
+        map_capacity=32768,
+        kf_cloud_capacity=2048,
+        near_kf_capacity=16,
+        imu_window=64,
+        point_filter_num=1,
+        downsampleRate=1,
+        mappingSurfLeafSize=0.4,
+        surroundingKeyframeMapLeafSize=0.4,
+        loopClosureEnableFlag=True,
+        loopClosureFrequency=2.0,
+        historyKeyframeSearchTimeDiff=2.0,
+        historyKeyframeSearchNum=5,
+        kf_capacity=64,
+        traj_capacity=128,
+        gps_capacity=16,
+        loop_capacity=16,
+    )
+    pipe = _run(ResidentPipeline, syn, cfg, 48)
+    n_loops = int(np.asarray(pipe.state.l_count))
+    times, poses = pipe.trajectory_arrays()
+    assert np.isfinite(poses).all()
+    assert n_loops >= 1, "no loop factor was added on a self-revisiting circle"
