@@ -36,6 +36,19 @@ def _make_dataset(args):
 
         ds = MulranDataset(args.root)
         return ds, ds.imu_stream(), ds.gps_stream() if args.gps else []
+    if args.dataset == "rosbag":
+        from .pipeline import SlamConfig, load_config
+        from .sensors.rosbag import RosbagDataset
+
+        cfg = load_config(args.config) if args.config else SlamConfig()
+        ds = RosbagDataset(
+            args.root,
+            cloud_topic=args.cloud_topic or cfg.pointCloudTopic,
+            imu_topic=args.imu_topic or cfg.imuTopic,
+            gps_topic=(args.gps_topic or cfg.gpsTopic) if args.gps else None,
+            sensor=cfg.sensor,
+        )
+        return ds, ds.imu_stream(), ds.gps_stream() if args.gps else []
     raise SystemExit(f"unknown dataset {args.dataset}")
 
 
@@ -46,12 +59,14 @@ def cmd_run(args):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    from .mapping.export import save_checkpoint, save_map
+    from .mapping.export import load_checkpoint, save_checkpoint, save_map
     from .pipeline import SlamConfig, load_config, make_pipeline
 
     cfg = load_config(args.config) if args.config else SlamConfig()
     # device-resident (zero-pull) pipeline when the config allows it
     pipe = make_pipeline(cfg)
+    if args.resume:
+        load_checkpoint(pipe, args.resume)
 
     ds, imu, gps = _make_dataset(args)
     n = len(ds) if hasattr(ds, "__len__") else args.frames
@@ -120,9 +135,15 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="run SLAM over a dataset")
-    r.add_argument("--dataset", choices=["synthetic", "kitti", "mulran"], required=True)
-    r.add_argument("--root", help="dataset root directory")
+    r.add_argument(
+        "--dataset", choices=["synthetic", "kitti", "mulran", "rosbag"], required=True
+    )
+    r.add_argument("--root", help="dataset root directory (or .bag path for rosbag)")
     r.add_argument("--config", help="reference-format YAML config")
+    r.add_argument("--cloud-topic", help="rosbag: PointCloud2 topic (default: config)")
+    r.add_argument("--imu-topic", help="rosbag: Imu topic (default: config)")
+    r.add_argument("--gps-topic", help="rosbag: NavSatFix topic (default: config)")
+    r.add_argument("--resume", help="resume from a checkpoint.pkl")
     r.add_argument("--frames", type=int, default=0, help="limit frame count")
     r.add_argument("--gps", action="store_true", help="enable the GPS factor stream")
     r.add_argument("--out", required=True)

@@ -87,7 +87,32 @@ def save_map(pipeline, directory: str, resolution: float = 0.0) -> bool:
 
 
 def save_checkpoint(pipeline, path: str):
-    """Snapshot the full SLAM state for resume."""
+    """Snapshot the full SLAM state for resume.
+
+    Two formats: the device-resident pipeline is snapshotted exactly (its
+    whole ResidentState pytree — keyframe/factor/trajectory rings, fusion
+    filter, grid — pulled once), so resume is bit-exact; the classic host
+    pipeline keeps its host-structured format.
+    """
+    if getattr(pipeline, "state", None) is not None:  # ResidentPipeline
+        import jax
+
+        state_np = jax.tree_util.tree_map(np.asarray, pipeline.state)
+        payload = dict(
+            format="resident-v1",
+            state=state_np,
+            stamps=list(getattr(pipeline, "_stamps", [])),
+            time_base=pipeline._time_base_val,
+            frame_idx=pipeline.frame_idx,
+            last_scan_stamp=pipeline.last_scan_stamp,
+            imu_queue=pipeline.imu_queue[-1024:],
+            gps_queue=list(pipeline.gps_queue),
+            gps_datum=pipeline.gps_conv._datum,
+        )
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        return
+
     store = pipeline.store
     state = dict(
         count=store.count,
@@ -123,6 +148,26 @@ def load_checkpoint(pipeline, path: str):
 
     with open(path, "rb") as f:
         state = pickle.load(f)
+
+    if isinstance(state, dict) and state.get("format") == "resident-v1":
+        import jax
+
+        if not hasattr(pipeline, "sync"):  # ResidentPipeline only
+            raise ValueError(
+                "resident-v1 checkpoint requires a ResidentPipeline "
+                "(make_pipeline(cfg))"
+            )
+        pipeline.state = jax.tree_util.tree_map(jnp.asarray, state["state"])
+        pipeline._stamps = list(state["stamps"])
+        pipeline._time_base_val = state["time_base"]
+        pipeline.frame_idx = state["frame_idx"]
+        pipeline.last_scan_stamp = state["last_scan_stamp"]
+        pipeline.imu_queue = list(state["imu_queue"])
+        pipeline.gps_queue = list(state["gps_queue"])
+        if state["gps_datum"] is not None:
+            pipeline.gps_conv._datum = state["gps_datum"]
+        pipeline._synced = False
+        return pipeline
     store = pipeline.store
     n = state["count"]
     while store.kf_cap < n:

@@ -71,3 +71,63 @@ def test_cli_synthetic(tmp_path):
     # eval CLI against itself -> zero error
     est = os.path.join(out, "trajectory_tum.txt")
     cli.main(["eval", "--est", est, "--gt", est])
+
+
+def test_cli_rosbag(tmp_path):
+    """End-to-end: synthetic scans serialized into a ROS1 bag -> CLI run."""
+    from liorf_tpu import cli
+    from liorf_tpu.sensors.synthetic import SyntheticConfig, SyntheticDataset
+    from test_rosbag import serialize_imu, serialize_pointcloud2, write_bag
+
+    syn = SyntheticDataset(SyntheticConfig(n_frames=6, n_rings=16, points_per_ring=180))
+    msgs = []
+    for s in syn.imu_stream():
+        if s.stamp < 0.65:
+            msgs.append(
+                ("/imu_raw", "sensor_msgs/Imu", max(s.stamp, 0.0),
+                 serialize_imu(max(s.stamp, 0.0), s.acc, s.gyr, [1, 0, 0, 0]))
+            )
+    for f in range(6):
+        s = syn.scan(f)
+        msgs.append(
+            ("/points_raw", "sensor_msgs/PointCloud2", s.stamp,
+             serialize_pointcloud2(
+                 s.stamp, s.xyz, s.intensity,
+                 s.ring.astype(np.uint16), s.rel_time.astype(np.float32)))
+        )
+    msgs.sort(key=lambda m: m[2])
+    bag = str(tmp_path / "seq.bag")
+    write_bag(bag, msgs)
+
+    out = str(tmp_path / "out")
+    cli.main(
+        [
+            "run", "--dataset", "rosbag", "--root", bag,
+            "--cloud-topic", "/points_raw", "--imu-topic", "/imu_raw",
+            "--out", out,
+        ]
+    )
+    tum = np.loadtxt(os.path.join(out, "trajectory_tum.txt"))
+    assert tum.shape[0] == 6
+    assert np.isfinite(tum).all()
+
+
+def test_cli_resume(tmp_path):
+    """CLI --checkpoint then --resume continues a run."""
+    from liorf_tpu import cli
+
+    out1 = str(tmp_path / "a")
+    cli.main(
+        ["run", "--dataset", "synthetic", "--frames", "6",
+         "--out", out1, "--checkpoint"]
+    )
+    ckpt = os.path.join(out1, "checkpoint.pkl")
+    assert os.path.exists(ckpt)
+
+    out2 = str(tmp_path / "b")
+    cli.main(
+        ["run", "--dataset", "synthetic", "--frames", "4",
+         "--out", out2, "--resume", ckpt]
+    )
+    tum = np.loadtxt(os.path.join(out2, "trajectory_tum.txt"))
+    assert tum.shape[0] == 10  # 6 checkpointed + 4 new

@@ -118,3 +118,41 @@ def test_resident_loop_closure():
     times, poses = pipe.trajectory_arrays()
     assert np.isfinite(poses).all()
     assert n_loops >= 1, "no loop factor was added on a self-revisiting circle"
+
+
+def test_resident_checkpoint_resume(syn, small_cfg, tmp_path):
+    """Bit-exact resume: run 10 frames straight vs 6 + checkpoint + 4.
+
+    imu_stream() draws fresh sensor noise per call, so one shared stream
+    drives all three runs."""
+    from liorf_tpu.mapping.export import load_checkpoint, save_checkpoint
+
+    n = 10
+    imu = syn.imu_stream()
+
+    def drive(pipe, lo, hi):
+        ii = 0
+        for f in range(hi):
+            scan = syn.scan(f)
+            while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+                if f >= lo:
+                    pipe.push_imu(imu[ii])
+                ii += 1
+            if f >= lo:
+                pipe.process_scan(scan)
+        return pipe
+
+    full = drive(ResidentPipeline(small_cfg), 0, n)
+    t_full, p_full = full.trajectory_arrays()
+
+    half = drive(ResidentPipeline(small_cfg), 0, 6)
+    ckpt = str(tmp_path / "resident.pkl")
+    save_checkpoint(half, ckpt)
+
+    resumed = ResidentPipeline(small_cfg)
+    load_checkpoint(resumed, ckpt)
+    drive(resumed, 6, n)
+    t_res, p_res = resumed.trajectory_arrays()
+    assert len(t_res) == n
+    np.testing.assert_allclose(t_res, t_full, atol=1e-9)
+    np.testing.assert_allclose(p_res, p_full, atol=1e-5)
