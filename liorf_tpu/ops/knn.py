@@ -120,6 +120,16 @@ def knn_grid(
     cand_valid = cand_valid.reshape(n, 27 * bucket)
 
     cand_xyz = grid.xyz[cand]  # [N, C, 3]
+
+    if jax.default_backend() != "cpu":
+        # TPU: fused d2 + top-k Pallas kernel (no [N, C] HBM intermediate,
+        # no sort); invalid candidates pushed to infinity via coordinates
+        from .knn_pallas import topk_candidates_pallas
+
+        sel = (cand_valid & query_mask[:, None])[..., None]
+        cand_xyz = jnp.where(sel, cand_xyz, 1e30)
+        return topk_candidates_pallas(queries, cand_xyz, cand, k=k)
+
     diff = cand_xyz - queries[:, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(cand_valid & query_mask[:, None], d2, jnp.inf)

@@ -74,6 +74,86 @@ def _kernel(q_ref, t_ref, pen_ref, out_d_ref, out_i_ref, *, k: int, tm: int):
     out_i_ref[:] = best_i
 
 
+def _cand_kernel(q_ref, cx_ref, cy_ref, cz_ref, ci_ref, out_d_ref, out_i_ref,
+                 *, k: int):
+    """Fused d2 + masked top-k over per-query candidate lists.
+
+    Replaces the scan-matcher's XLA gather->sort pipeline tail
+    (``knn.knn_grid``): one VMEM pass computes the squared distances of all
+    C candidates and extracts the k smallest with k min passes — no [N, C]
+    HBM intermediate, no sort.
+    """
+    q = q_ref[:]  # [TQ, 3]
+    dx = cx_ref[:] - q[:, 0:1]
+    dy = cy_ref[:] - q[:, 1:2]
+    dz = cz_ref[:] - q[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz  # [TQ, C]
+    ci = ci_ref[:]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    ds, is_ = [], []
+    for _ in range(k):
+        p = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        hit = lanes == p[:, None]
+        ds.append(jnp.min(d2, axis=1))
+        is_.append(jnp.sum(jnp.where(hit, ci, 0), axis=1))
+        d2 = jnp.where(hit, _BIG, d2)
+    out_d_ref[:] = jnp.stack(ds, axis=1)
+    out_i_ref[:] = jnp.stack(is_, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_q", "interpret"))
+def topk_candidates_pallas(
+    queries: jax.Array,   # [N, 3]
+    cand_xyz: jax.Array,  # [N, C, 3] candidate coords (invalid -> huge)
+    cand_idx: jax.Array,  # [N, C] int32 global indices
+    k: int = 5,
+    tile_q: int = 256,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """k nearest of each query's candidate list; invalid candidates must be
+    pre-set to far-away coordinates. Returns (d2 [N,k], idx [N,k]) with
+    missing neighbors as (+inf, 0)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, c = cand_idx.shape
+    np_ = (-n) % tile_q
+    q_pad = jnp.pad(queries, ((0, np_), (0, 0)))
+    # split components: [N, C] blocks keep the lane dimension = C (a [N, C, 3]
+    # block would pad the 3-lane axis to 128 and blow VMEM)
+    cx = jnp.pad(cand_xyz[..., 0], ((0, np_), (0, 0)), constant_values=_BIG)
+    cy = jnp.pad(cand_xyz[..., 1], ((0, np_), (0, 0)), constant_values=_BIG)
+    cz = jnp.pad(cand_xyz[..., 2], ((0, np_), (0, 0)), constant_values=_BIG)
+    ci = jnp.pad(cand_idx, ((0, np_), (0, 0)))
+
+    kern = functools.partial(_cand_kernel, k=k)
+    row = pl.BlockSpec((tile_q, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_d, out_i = pl.pallas_call(
+        kern,
+        grid=((n + np_) // tile_q,),
+        in_specs=[
+            pl.BlockSpec((tile_q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            row, row, row,
+            pl.BlockSpec((tile_q, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n + np_, k), jnp.float32),
+            jax.ShapeDtypeStruct((n + np_, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_pad, cx, cy, cz, ci)
+
+    best_d = out_d[:n]
+    best_i = out_i[:n]
+    missing = best_d >= _BIG * 0.5
+    best_d = jnp.where(missing, jnp.inf, jnp.maximum(best_d, 0.0))
+    best_i = jnp.where(missing, 0, best_i)
+    return best_d, best_i
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile_q", "tile_m", "interpret"))
 def knn_bruteforce_pallas(
     map_xyz: jax.Array,

@@ -1,5 +1,6 @@
 """Pallas streaming k-NN kernel vs the XLA oracle (interpret mode on CPU)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -42,3 +43,29 @@ def test_pallas_all_masked(rng):
     )
     assert np.isinf(np.asarray(d)).all()
     assert (np.asarray(i) == 0).all()
+
+
+def test_topk_candidates_matches_xla(rng):
+    """The fused candidates kernel (interpret mode) vs the XLA tail."""
+    from liorf_tpu.ops.knn_pallas import topk_candidates_pallas
+
+    n, c, k = 200, 96, 5
+    queries = jnp.asarray(rng.uniform(-10, 10, (n, 3)).astype(np.float32))
+    cand_xyz = jnp.asarray(rng.uniform(-10, 10, (n, c, 3)).astype(np.float32))
+    cand_idx = jnp.asarray(rng.integers(0, 5000, (n, c)).astype(np.int32))
+    valid = jnp.asarray(rng.uniform(size=(n, c)) > 0.2)
+
+    masked_xyz = jnp.where(valid[..., None], cand_xyz, 1e30)
+    d_pl, i_pl = topk_candidates_pallas(
+        queries, masked_xyz, cand_idx, k=k, tile_q=64, interpret=True
+    )
+
+    d2 = jnp.sum((cand_xyz - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    vals, pos = jax.lax.top_k(-d2, k)
+    d_ref = -vals
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_ref), atol=1e-3)
+    # indices must point at candidates with matching distances
+    i_ref = jnp.take_along_axis(cand_idx, pos, axis=1)
+    finite = np.isfinite(np.asarray(d_ref))
+    assert (np.asarray(i_pl) == np.asarray(i_ref))[finite].mean() > 0.99
