@@ -1,22 +1,21 @@
 """Explicit-collective distributed pose-graph solver (shard_map + psum).
 
 The GSPMD path (``dist.sharded``) lets XLA infer collectives from sharding
-annotations. This module is the communication-explicit twin: factors are
-sharded by edge blocks across the ``graph`` mesh axis with ``shard_map``,
-and every cross-shard reduction is a hand-placed ``psum`` — the layout the
+annotations. This module is the communication-explicit twin, the layout the
 reference's single-machine iSAM2 backend can never express
-(``/root/reference/src/mapOptmization.cpp:1521-1531``; SURVEY §5.7/§5.8).
+(``/root/reference/src/mapOptmization.cpp:1521-1531``; SURVEY §5.7/§5.8):
 
-Design (communication-avoiding PCG):
+* **nodes** (keyframe poses, PCG vectors, block preconditioner) are sharded
+  in contiguous blocks along the ``graph`` mesh axis — per-device node work
+  is O(K/n);
+* **factors** (between/GPS) are sharded in blocks along the same axis —
+  per-device linearization work is O(E/n);
+* each PCG matvec costs exactly one ``all_gather`` of the [K, 6] search
+  direction plus one ``psum_scatter`` of the factor contributions — wire
+  volume independent of the factor count, which is what grows.
 
-* node state x [K, 6] is small (6 floats per keyframe) and replicated;
-* each shard owns a contiguous block of between/GPS factors and computes
-  its local J^T J x and J^T r contributions into a full-K accumulator;
-* ONE ``psum`` per matvec merges the accumulators; PCG dot products ride
-  the same replicated arrays so they need no extra collectives.
-
-Per PCG iteration the wire cost is exactly one all-reduce of [K, 6]
-floats over ICI — independent of factor count, which is what scales.
+This is weak-scaling by construction: fixed keyframes+factors per device
+keeps per-device compute constant while the trajectory grows with the mesh.
 """
 
 from __future__ import annotations
@@ -26,27 +25,25 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import se3
 from ..graph import pose_graph as pg
-from ..graph.pose_graph import SolveParams, _linearize
+from ..graph.pose_graph import SolveParams
 
 _HIGH = jax.lax.Precision.HIGHEST
 
 
-def _pad_to_multiple(graph: pg.PoseGraph, n: int) -> pg.PoseGraph:
-    """Pad factor arrays so each leading dim divides the shard count.
-
-    Padding slots carry e_mask/g_mask = False, so they contribute zero.
-    """
+def _pad_graph(graph: pg.PoseGraph, n: int) -> tuple[pg.PoseGraph, int]:
+    """Pad node and factor arrays so every leading dim divides the shard
+    count. Pad slots carry mask=False (factors) / node_mask=False (nodes);
+    padded nodes sit at the end so factor indices stay valid."""
 
     def pad(x, target):
         extra = target - x.shape[0]
         if extra == 0:
             return x
-        pad_width = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad_width)
+        return jnp.pad(x, [(0, extra)] + [(0, 0)] * (x.ndim - 1))
 
     def pad_rot(x, target):
         extra = target - x.shape[0]
@@ -55,111 +52,143 @@ def _pad_to_multiple(graph: pg.PoseGraph, n: int) -> pg.PoseGraph:
         eye = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), (extra, 3, 3))
         return jnp.concatenate([x, eye], axis=0)
 
-    E = graph.e_i.shape[0]
-    G = graph.g_i.shape[0]
-    Ep = -(-E // n) * n
-    Gp = -(-G // n) * n
+    K, E, G = graph.Rs.shape[0], graph.e_i.shape[0], graph.g_i.shape[0]
+    Kp, Ep, Gp = (-(-d // n) * n for d in (K, E, G))
     return graph._replace(
+        Rs=pad_rot(graph.Rs, Kp), ts=pad(graph.ts, Kp),
+        node_mask=pad(graph.node_mask, Kp),
         e_i=pad(graph.e_i, Ep), e_j=pad(graph.e_j, Ep),
         e_Rm=pad_rot(graph.e_Rm, Ep), e_tm=pad(graph.e_tm, Ep),
         e_sqrt_info=pad(graph.e_sqrt_info, Ep),
         e_cauchy=pad(graph.e_cauchy, Ep), e_mask=pad(graph.e_mask, Ep),
         g_i=pad(graph.g_i, Gp), g_t=pad(graph.g_t, Gp),
         g_sqrt_info=pad(graph.g_sqrt_info, Gp), g_mask=pad(graph.g_mask, Gp),
-    )
+    ), Kp
 
 
-def _local_terms(graph: pg.PoseGraph, free_mask):
-    """Per-shard linearization of the LOCAL factor block.
+def _local_factor_terms(graph: pg.PoseGraph, Rs_g, ts_g, free_w):
+    """Linearize the LOCAL factor block against gathered poses.
 
-    Returns (rhs_contrib [K,6], diag_contrib [K,6,6], matvec_contrib fn);
-    contributions must be psum'd across the mesh axis by the caller.
-    """
-    K = graph.Rs.shape[0]
-    (r_e, Ji, Jj), (r_g, Jg), (r_p, Jp) = _linearize(graph)
-    fm = free_mask.astype(r_e.dtype)
-    Ji = Ji * fm[graph.e_i][:, None, None]
-    Jj = Jj * fm[graph.e_j][:, None, None]
-    Jg = Jg * fm[graph.g_i][:, None, None]
-    Jp = Jp * fm[graph.prior_i]
+    Returns rhs/diag contribution builders over the FULL node range [K, ...]
+    (to be psum_scatter'ed) and the local matvec contribution fn."""
+    K = Rs_g.shape[0]
+    g = graph._replace(Rs=Rs_g, ts=ts_g)
+    (r_e, Ji, Jj), (r_g, Jg), _ = pg._linearize(g)
+    Ji = Ji * free_w[g.e_i][:, None, None]
+    Jj = Jj * free_w[g.e_j][:, None, None]
+    Jg = Jg * free_w[g.g_i][:, None, None]
 
     rhs = jnp.zeros((K, 6), r_e.dtype)
-    rhs = rhs.at[graph.e_i].add(-jnp.einsum("eri,er->ei", Ji, r_e, precision=_HIGH))
-    rhs = rhs.at[graph.e_j].add(-jnp.einsum("eri,er->ei", Jj, r_e, precision=_HIGH))
-    rhs = rhs.at[graph.g_i].add(-jnp.einsum("gri,gr->gi", Jg, r_g, precision=_HIGH))
+    rhs = rhs.at[g.e_i].add(-jnp.einsum("eri,er->ei", Ji, r_e, precision=_HIGH))
+    rhs = rhs.at[g.e_j].add(-jnp.einsum("eri,er->ei", Jj, r_e, precision=_HIGH))
+    rhs = rhs.at[g.g_i].add(-jnp.einsum("gri,gr->gi", Jg, r_g, precision=_HIGH))
 
     diag = jnp.zeros((K, 6, 6), r_e.dtype)
-    diag = diag.at[graph.e_i].add(jnp.einsum("eri,erj->eij", Ji, Ji, precision=_HIGH))
-    diag = diag.at[graph.e_j].add(jnp.einsum("eri,erj->eij", Jj, Jj, precision=_HIGH))
-    diag = diag.at[graph.g_i].add(jnp.einsum("gri,grj->gij", Jg, Jg, precision=_HIGH))
+    diag = diag.at[g.e_i].add(jnp.einsum("eri,erj->eij", Ji, Ji, precision=_HIGH))
+    diag = diag.at[g.e_j].add(jnp.einsum("eri,erj->eij", Jj, Jj, precision=_HIGH))
+    diag = diag.at[g.g_i].add(jnp.einsum("gri,grj->gij", Jg, Jg, precision=_HIGH))
 
-    def matvec(x):
-        yi = jnp.einsum("eri,ei->er", Ji, x[graph.e_i], precision=_HIGH)
-        yj = jnp.einsum("eri,ei->er", Jj, x[graph.e_j], precision=_HIGH)
+    def matvec(xg):  # xg: [K, 6] gathered
+        yi = jnp.einsum("eri,ei->er", Ji, xg[g.e_i], precision=_HIGH)
+        yj = jnp.einsum("eri,ei->er", Jj, xg[g.e_j], precision=_HIGH)
         y_e = yi + yj
-        y_g = jnp.einsum("gri,gi->gr", Jg, x[graph.g_i], precision=_HIGH)
-        out = jnp.zeros_like(x)
-        out = out.at[graph.e_i].add(jnp.einsum("eri,er->ei", Ji, y_e, precision=_HIGH))
-        out = out.at[graph.e_j].add(jnp.einsum("eri,er->ei", Jj, y_e, precision=_HIGH))
-        out = out.at[graph.g_i].add(jnp.einsum("gri,gr->gi", Jg, y_g, precision=_HIGH))
+        y_g = jnp.einsum("gri,gi->gr", Jg, xg[g.g_i], precision=_HIGH)
+        out = jnp.zeros_like(xg)
+        out = out.at[g.e_i].add(jnp.einsum("eri,er->ei", Ji, y_e, precision=_HIGH))
+        out = out.at[g.e_j].add(jnp.einsum("eri,er->ei", Jj, y_e, precision=_HIGH))
+        out = out.at[g.g_i].add(jnp.einsum("gri,gr->gi", Jg, y_g, precision=_HIGH))
         return out
 
-    return rhs, diag, matvec, (r_p, Jp)
+    return rhs, diag, matvec
+
+
+def _prior_terms(graph: pg.PoseGraph, Rs_g, ts_g, free_w, first):
+    """Prior contributions over [K, ...]; only the first shard counts it."""
+    K = Rs_g.shape[0]
+    Rp, tp = Rs_g[graph.prior_i], ts_g[graph.prior_i]
+    zero6 = np.zeros(6, np.float32)
+    r_p = pg._prior_residual(zero6, Rp, tp, graph.prior_R, graph.prior_t)
+    Jp = jax.jacfwd(pg._prior_residual)(zero6, Rp, tp, graph.prior_R, graph.prior_t)
+    r_p = r_p * graph.prior_sqrt_info
+    Jp = Jp * graph.prior_sqrt_info[:, None] * free_w[graph.prior_i]
+    w1 = first.astype(r_p.dtype)
+    rhs = jnp.zeros((K, 6), r_p.dtype).at[graph.prior_i].add(-(Jp.T @ r_p) * w1)
+    diag = jnp.zeros((K, 6, 6), r_p.dtype).at[graph.prior_i].add((Jp.T @ Jp) * w1)
+
+    def matvec(xg):
+        y = (Jp.T @ (Jp @ xg[graph.prior_i])) * w1
+        return jnp.zeros_like(xg).at[graph.prior_i].add(y)
+
+    return rhs, diag, matvec
 
 
 def _shard_body(graph: pg.PoseGraph, free_from, params: SolveParams, axis: str):
-    """Runs inside shard_map: full nodes, local factor block per device."""
-    K = graph.Rs.shape[0]
-    idx = jnp.arange(K, dtype=jnp.int32)
+    """shard_map body: local node block [Kl,...] + local factor block."""
+    n = jax.lax.axis_size(axis)
     first = jax.lax.axis_index(axis) == 0
+    Kl = graph.Rs.shape[0]
+    K = Kl * n
 
-    def gn_step(g: pg.PoseGraph, _):
-        free_mask = g.node_mask & (idx >= free_from)
-        rhs_l, diag_l, matvec_l, (r_p, Jp) = _local_terms(g, free_mask)
-        # the prior lives on every shard's replicated node state; count it once
-        w1 = first.astype(rhs_l.dtype)
-        rhs_l = rhs_l.at[g.prior_i].add(-(Jp.T @ r_p) * w1)
-        diag_l = diag_l.at[g.prior_i].add((Jp.T @ Jp) * w1)
+    gather = partial(jax.lax.all_gather, axis_name=axis, tiled=True)
+    scatter = partial(jax.lax.psum_scatter, axis_name=axis, tiled=True)
 
-        # ONE collective for the normal-equation terms
-        rhs = jax.lax.psum(rhs_l, axis)
-        diag = jax.lax.psum(diag_l, axis)
+    node_mask_g = gather(graph.node_mask)  # [K] (static across GN steps)
+    free_w_g = (
+        node_mask_g & (jnp.arange(K, dtype=jnp.int32) >= free_from)
+    ).astype(jnp.float32)
+    free_local = free_w_g.reshape(n, Kl)[jax.lax.axis_index(axis)]
 
-        eye = jnp.eye(6, dtype=rhs.dtype)
-        blocks = diag + eye[None] * (params.damping + 1e-6)
-        Minv = jnp.linalg.inv(blocks)
-        apply_M = lambda r: jnp.einsum("kij,kj->ki", Minv, r, precision=_HIGH)
+    def gn_step(carry, _):
+        Rs_l, ts_l = carry  # local node block
+        Rs_g, ts_g = gather(Rs_l), gather(ts_l)
+        rhs_f, diag_f, mv_f = _local_factor_terms(graph, Rs_g, ts_g, free_w_g)
+        rhs_p, diag_p, mv_p = _prior_terms(graph, Rs_g, ts_g, free_w_g, first)
 
-        def A(x):
-            # ONE psum per matvec: local factor contributions -> all-reduce
-            local = matvec_l(x).at[g.prior_i].add((Jp.T @ (Jp @ x[g.prior_i])) * w1)
-            return jax.lax.psum(local, axis) + params.damping * x
+        # one reduce-scatter each: full-range contributions -> local block
+        rhs_l = scatter(rhs_f + rhs_p, scatter_dimension=0)  # [Kl, 6]
+        diag_l = scatter(diag_f + diag_p, scatter_dimension=0)  # [Kl, 6, 6]
 
-        x0 = jnp.zeros_like(rhs)
-        z0 = apply_M(rhs)
-        rz0 = jnp.vdot(rhs, z0)
+        eye = jnp.eye(6, dtype=rhs_l.dtype)
+        Minv_l = jnp.linalg.inv(diag_l + eye[None] * (params.damping + 1e-6))
+        apply_M = lambda r: jnp.einsum("kij,kj->ki", Minv_l, r, precision=_HIGH)
 
-        def body(carry, _):
-            x, r, p, rz = carry
-            Ap = A(p)
-            denom = jnp.vdot(p, Ap)
+        def A(x_l):
+            # all_gather the direction, local factor matvec, reduce-scatter
+            xg = gather(x_l)
+            y = mv_f(xg) + mv_p(xg)
+            return scatter(y, scatter_dimension=0) + params.damping * x_l
+
+        def dot(a, b):
+            return jax.lax.psum(jnp.vdot(a, b), axis)
+
+        x0 = jnp.zeros_like(rhs_l)
+        z0 = apply_M(rhs_l)
+        rz0 = dot(rhs_l, z0)
+
+        def body(c, _):
+            x, r, p_, rz = c
+            Ap = A(p_)
+            denom = dot(p_, Ap)
             alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
-            x = x + alpha * p
+            x = x + alpha * p_
             r = r - alpha * Ap
             z = apply_M(r)
-            rz_new = jnp.vdot(r, z)
+            rz_new = dot(r, z)
             beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
-            return (x + 0.0, r, z + beta * p, rz_new), None
+            return (x, r, z + beta * p_, rz_new), None
 
-        (dx, _, _, _), _ = jax.lax.scan(
-            body, (x0, rhs, z0, rz0), None, length=params.pcg_iters
+        (dx_l, _, _, _), _ = jax.lax.scan(
+            body, (x0, rhs_l, z0, rz0), None, length=params.pcg_iters
         )
-        dx = dx * free_mask[:, None].astype(dx.dtype)
-        Rs, ts = jax.vmap(se3.se3_retract)(g.Rs, g.ts, dx)
-        return g._replace(Rs=Rs, ts=ts), None
+        dx_l = dx_l * free_local[:, None]
+        Rs_new, ts_new = jax.vmap(se3.se3_retract)(Rs_l, ts_l, dx_l)
+        return (Rs_new, ts_new), None
 
-    graph, _ = jax.lax.scan(gn_step, graph, None, length=params.gn_iters)
-    return graph
+    (Rs_l, ts_l), _ = jax.lax.scan(
+        gn_step, (graph.Rs, graph.ts), None, length=params.gn_iters
+    )
+    # return gathered (replicated) poses so the caller sees the full graph
+    return gather(Rs_l), gather(ts_l)
 
 
 def solve_shard_map(
@@ -169,29 +198,18 @@ def solve_shard_map(
     params: SolveParams = SolveParams(),
     axis: str = "graph",
 ) -> pg.PoseGraph:
-    """Distributed GN/PCG with explicit psum collectives.
-
-    Same semantics as ``pose_graph.solve``; factors are sharded by blocks
-    along ``axis``, node state is replicated (6 floats per keyframe — tiny
-    next to factor Jacobians, which is where the memory/compute grows).
-    """
+    """Distributed GN/PCG with explicit collectives; same semantics as
+    ``pose_graph.solve``."""
     n = mesh.shape[axis]
-    padded = _pad_to_multiple(graph, n)
+    padded, Kp = _pad_graph(graph, n)
 
-    shard = P(axis)
-    repl = P()
+    shard, repl = P(axis), P()
     in_specs = pg.PoseGraph(
-        Rs=repl, ts=repl, node_mask=repl,
+        Rs=shard, ts=shard, node_mask=shard,
         e_i=shard, e_j=shard, e_Rm=shard, e_tm=shard,
         e_sqrt_info=shard, e_cauchy=shard, e_mask=shard,
         g_i=shard, g_t=shard, g_sqrt_info=shard, g_mask=shard,
         prior_i=repl, prior_R=repl, prior_t=repl, prior_sqrt_info=repl,
-    )
-    out_specs = jax.tree_util.tree_map(lambda _: repl, in_specs)
-    out_specs = out_specs._replace(
-        e_i=shard, e_j=shard, e_Rm=shard, e_tm=shard,
-        e_sqrt_info=shard, e_cauchy=shard, e_mask=shard,
-        g_i=shard, g_t=shard, g_sqrt_info=shard, g_mask=shard,
     )
 
     fn = jax.jit(
@@ -199,18 +217,10 @@ def solve_shard_map(
             partial(_shard_body, params=params, axis=axis),
             mesh=mesh,
             in_specs=(in_specs, repl),
-            out_specs=out_specs,
+            out_specs=(repl, repl),
             check_vma=False,
         )
     )
-    solved = fn(padded, jnp.asarray(free_from, jnp.int32))
-    # un-pad factor arrays back to the caller's capacities
-    E = graph.e_i.shape[0]
-    G = graph.g_i.shape[0]
-    return solved._replace(
-        e_i=solved.e_i[:E], e_j=solved.e_j[:E], e_Rm=solved.e_Rm[:E],
-        e_tm=solved.e_tm[:E], e_sqrt_info=solved.e_sqrt_info[:E],
-        e_cauchy=solved.e_cauchy[:E], e_mask=solved.e_mask[:E],
-        g_i=solved.g_i[:G], g_t=solved.g_t[:G],
-        g_sqrt_info=solved.g_sqrt_info[:G], g_mask=solved.g_mask[:G],
-    )
+    Rs, ts = fn(padded, jnp.asarray(free_from, jnp.int32))
+    K = graph.Rs.shape[0]
+    return graph._replace(Rs=Rs[:K], ts=ts[:K])
