@@ -113,6 +113,97 @@ def cmd_run(args):
     )
 
 
+def cmd_optimize(args):
+    """Distributed full-batch pose-graph relaxation of a checkpointed run.
+
+    The live pipeline solves incrementally on one chip; this offline pass
+    shards keyframe blocks + factors over a device mesh (explicit
+    all_gather/psum_scatter collectives) and rewrites every keyframe pose —
+    the pod-scale equivalent of the reference's loop-closure isam bursts
+    (mapOptmization.cpp:1521-1531, correctPoses :1611-1642)."""
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") and "axon" not in os.environ["JAX_PLATFORMS"]:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    import jax.numpy as jnp
+
+    from .dist.shard_map_solver import solve_shard_map
+    from .dist.sharded import make_mesh
+    from .graph import pose_graph as pg
+    from .mapping.export import load_checkpoint, save_checkpoint
+    from .pipeline import SlamConfig, load_config, make_pipeline
+
+    cfg = load_config(args.config) if args.config else SlamConfig()
+    pipe = make_pipeline(cfg)
+    load_checkpoint(pipe, args.checkpoint)
+    st = pipe.state
+    if st is None:
+        raise SystemExit("optimize requires a resident-v1 checkpoint")
+
+    from .core import se3 as se3j
+
+    K = st.kf_poses.shape[0]
+    L = st.l_i.shape[0]
+    G = st.g_i.shape[0]
+    idx = jnp.arange(K, dtype=jnp.int32)
+    Rs = se3j.euler_to_rot(st.kf_poses[:, :3])
+    e_sqrt = np.concatenate([np.full(3, 1.0e3, np.float32), np.full(3, 1.0e2, np.float32)])
+    graph = pg.PoseGraph(
+        Rs=Rs,
+        ts=st.kf_poses[:, 3:6],
+        node_mask=idx < st.kf_count,
+        e_i=jnp.concatenate([idx, st.l_i]),
+        e_j=jnp.concatenate([jnp.minimum(idx + 1, K - 1), st.l_j]),
+        e_Rm=jnp.concatenate([st.e_Rm, st.l_Rm]),
+        e_tm=jnp.concatenate([st.e_tm, st.l_tm]),
+        e_sqrt_info=jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(e_sqrt), (K, 6)), st.l_sqrt]
+        ),
+        e_cauchy=jnp.concatenate([jnp.zeros((K,), jnp.float32), st.l_cauchy]),
+        e_mask=jnp.concatenate(
+            [(idx + 1) < st.kf_count, jnp.arange(L, dtype=jnp.int32) < st.l_count]
+        ),
+        g_i=st.g_i,
+        g_t=st.g_t,
+        g_sqrt_info=st.g_sqrt,
+        g_mask=jnp.arange(G, dtype=jnp.int32) < st.g_count,
+        prior_i=jnp.asarray(0, jnp.int32),
+        prior_R=st.prior_R,
+        prior_t=st.prior_t,
+        prior_sqrt_info=jnp.full((6,), 1.0e2, jnp.float32),
+    )
+    mesh = make_mesh(args.devices)
+    t0 = time.perf_counter()
+    solved = solve_shard_map(
+        graph, mesh, free_from=0,
+        params=pg.SolveParams(gn_iters=args.gn_iters, pcg_iters=args.pcg_iters),
+    )
+    jax.block_until_ready(solved.ts)
+    elapsed = time.perf_counter() - t0
+
+    rpy = se3j.rot_to_euler(solved.Rs)
+    new_poses = jnp.concatenate([rpy, solved.ts], axis=-1).astype(jnp.float32)
+    keep = (idx < st.kf_count)[:, None]
+    pipe.state = st._replace(
+        kf_poses=jnp.where(keep, new_poses, st.kf_poses)
+    )
+    pipe._synced = False
+    out = args.out or args.checkpoint
+    save_checkpoint(pipe, out)
+    print(
+        json.dumps(
+            dict(
+                keyframes=int(st.kf_count),
+                devices=len(mesh.devices.ravel()),
+                solve_s=round(elapsed, 3),
+                out=out,
+            )
+        )
+    )
+
+
 def cmd_eval(args):
     from .eval.metrics import ate_rmse, load_tum, rpe_rmse
 
@@ -152,6 +243,17 @@ def main(argv=None):
     r.add_argument("--checkpoint", action="store_true")
     r.add_argument("--verbose", action="store_true")
     r.set_defaults(fn=cmd_run)
+
+    o = sub.add_parser(
+        "optimize", help="distributed full-batch relaxation of a checkpoint"
+    )
+    o.add_argument("--checkpoint", required=True, help="resident-v1 checkpoint.pkl")
+    o.add_argument("--config", help="reference-format YAML config")
+    o.add_argument("--out", help="output checkpoint (default: in-place)")
+    o.add_argument("--devices", type=int, default=None, help="mesh size (default: all)")
+    o.add_argument("--gn-iters", type=int, default=6)
+    o.add_argument("--pcg-iters", type=int, default=96)
+    o.set_defaults(fn=cmd_optimize)
 
     e = sub.add_parser("eval", help="ATE/RPE between TUM trajectories")
     e.add_argument("--est", required=True)

@@ -131,3 +131,26 @@ def test_cli_resume(tmp_path):
     )
     tum = np.loadtxt(os.path.join(out2, "trajectory_tum.txt"))
     assert tum.shape[0] == 10  # 6 checkpointed + 4 new
+
+
+def test_cli_optimize(tmp_path):
+    """run -> checkpoint -> distributed full-batch relaxation -> resume."""
+    from liorf_tpu import cli
+    from liorf_tpu.mapping.export import load_checkpoint
+    from liorf_tpu.pipeline import SlamConfig, make_pipeline
+
+    out = str(tmp_path / "o")
+    cli.main(
+        ["run", "--dataset", "synthetic", "--frames", "10",
+         "--out", out, "--checkpoint"]
+    )
+    ckpt = os.path.join(out, "checkpoint.pkl")
+    opt = os.path.join(out, "optimized.pkl")
+    cli.main(
+        ["optimize", "--checkpoint", ckpt, "--out", opt,
+         "--devices", "8", "--gn-iters", "2", "--pcg-iters", "16"]
+    )
+    pipe = make_pipeline(SlamConfig())
+    load_checkpoint(pipe, opt)
+    kf = np.asarray(pipe.state.kf_poses[: int(pipe.state.kf_count)])
+    assert np.isfinite(kf).all() and len(kf) >= 2
