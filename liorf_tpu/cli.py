@@ -101,6 +101,11 @@ def cmd_run(args):
         save_map(pipe, args.out, resolution=args.resolution)
     if args.checkpoint:
         save_checkpoint(pipe, os.path.join(args.out, "checkpoint.pkl"))
+    if args.viz:
+        from .mapping.viz import export_ply, render_overview
+
+        export_ply(pipe, args.out)
+        render_overview(pipe, os.path.join(args.out, "overview.png"))
     print(
         json.dumps(
             dict(
@@ -235,6 +240,10 @@ def main(argv=None):
     r.add_argument("--imu-topic", help="rosbag: Imu topic (default: config)")
     r.add_argument("--gps-topic", help="rosbag: NavSatFix topic (default: config)")
     r.add_argument("--resume", help="resume from a checkpoint.pkl")
+    r.add_argument(
+        "--viz", action="store_true",
+        help="export trajectory/map/loops PLYs + overview.png",
+    )
     r.add_argument("--frames", type=int, default=0, help="limit frame count")
     r.add_argument("--gps", action="store_true", help="enable the GPS factor stream")
     r.add_argument("--out", required=True)
