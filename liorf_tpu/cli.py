@@ -72,26 +72,40 @@ def cmd_run(args):
     n = len(ds) if hasattr(ds, "__len__") else args.frames
     n = min(n, args.frames) if args.frames else n
 
+    timers = None
+    if args.profile:
+        from .utils.profiling import StageTimers
+
+        timers = StageTimers()
+    from contextlib import nullcontext
+
+    stage = timers.stage if timers else (lambda *_a, **_k: nullcontext())
+
     ii = gi = 0
     t0 = time.perf_counter()
     for f in range(n):
-        scan = ds.scan(f)
-        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
-            pipe.push_imu(imu[ii])
-            ii += 1
-        while gi < len(gps) and gps[gi].stamp <= scan.stamp:
-            pipe.push_gps(gps[gi])
-            gi += 1
-        res = pipe.process_scan(scan)
+        with stage("ingest"):
+            scan = ds.scan(f)
+            while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+                pipe.push_imu(imu[ii])
+                ii += 1
+            while gi < len(gps) and gps[gi].stamp <= scan.stamp:
+                pipe.push_gps(gps[gi])
+                gi += 1
+        with stage("pack+dispatch"):
+            res = pipe.process_scan(scan)
         if args.verbose and f % 10 == 0:
             # resident pipeline keeps results on device (pose=None)
             pose_txt = (
                 np.round(res.pose[3:], 2) if res.pose is not None else "(on device)"
             )
             print(f"[{f}/{n}] pose={pose_txt} kf={res.is_keyframe}", file=sys.stderr)
-    if hasattr(pipe, "block"):
-        pipe.block()  # drain async device work before stopping the clock
+    with stage("device drain"):
+        if hasattr(pipe, "block"):
+            pipe.block()  # drain async device work before stopping the clock
     elapsed = time.perf_counter() - t0
+    if timers:
+        print(json.dumps(dict(profile=timers.report())), file=sys.stderr)
 
     os.makedirs(args.out, exist_ok=True)
     if hasattr(pipe, "sync_store"):
@@ -243,6 +257,10 @@ def main(argv=None):
     r.add_argument(
         "--viz", action="store_true",
         help="export trajectory/map/loops PLYs + overview.png",
+    )
+    r.add_argument(
+        "--profile", action="store_true",
+        help="report per-stage host timing (ingest/dispatch/drain) to stderr",
     )
     r.add_argument("--frames", type=int, default=0, help="limit frame count")
     r.add_argument("--gps", action="store_true", help="enable the GPS factor stream")
