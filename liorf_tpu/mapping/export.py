@@ -124,6 +124,8 @@ def save_checkpoint(pipeline, path: str):
         sc_keys=store.sc_keys[: store.count],
         edges=pipeline.edges,
         gps_factors=pipeline.gps_factors,
+        pose_cov=np.asarray(pipeline.pose_cov),
+        last_gps_xyz=pipeline.last_gps_xyz,
         loop_index=pipeline.loop_detector.loop_index_container,
         last_pose=pipeline.last_pose,
         last_scan_stamp=pipeline.last_scan_stamp,
@@ -182,6 +184,9 @@ def load_checkpoint(pipeline, path: str):
     store.invalidate_device()
     pipeline.edges = state["edges"]
     pipeline.gps_factors = state["gps_factors"]
+    if "pose_cov" in state:
+        pipeline.pose_cov = np.asarray(state["pose_cov"], np.float64)
+        pipeline.last_gps_xyz = state["last_gps_xyz"]
     pipeline.loop_detector.loop_index_container = state["loop_index"]
     pipeline.last_pose = state["last_pose"]
     pipeline.last_scan_stamp = state["last_scan_stamp"]

@@ -34,6 +34,7 @@ import numpy as np
 from ..core import se3
 from ..core.pointcloud import PAD_COORD
 from ..core.voxel import voxel_downsample_xyz
+from ..graph import marginal
 from ..graph import pose_graph as pg
 from ..imu import fusion as imu_fusion
 from ..imu import preintegration as preint
@@ -61,6 +62,7 @@ class ResidentParams(NamedTuple):
     kf_cloud_cap: int = 8192
     # gps
     use_gps_elevation: bool = False
+    pose_cov_threshold: float = 25.0
     # loop closure (in-graph; statically excluded when disabled)
     loop_enabled: bool = False
     loop_search_radius: float = 15.0
@@ -94,6 +96,7 @@ class ResidentState(NamedTuple):
     g_sqrt: jax.Array  # [G, 3]
     g_count: jax.Array  # [] i32
     g_last: jax.Array  # [3] position of last accepted gps
+    g_P: jax.Array  # [3, 3] (yaw,x,y) chain marginal for the poseCov gate
     # loop-closure factor ring
     l_i: jax.Array  # [L] i32 earlier keyframe
     l_j: jax.Array  # [L] i32 later keyframe
@@ -330,26 +333,50 @@ def _insert_keyframe(state: ResidentState, params: ResidentParams, pose, now,
         jnp.where(has_prev, tm, state.e_tm[jnp.maximum(k - 1, 0)])
     )
 
+    # chain-marginal propagation for the poseCovThreshold GPS gate
+    # (graph/marginal.py; iSAM2 marginalCovariance at mapOptmization.cpp:1416)
+    dyaw = jnp.arctan2(Rm[1, 0], Rm[0, 0])
+    g_P = jnp.where(
+        has_prev,
+        marginal.propagate(
+            state.g_P, prev_pose[2], jnp.stack([dyaw, tm[0], tm[1]]), jnp
+        ),
+        state.g_P,
+    )
+
     # GPS factor (addGPSFactor gating that depends on device state:
-    # >=5 m spacing, elevation override; mapOptmization.cpp:1441-1476)
+    # >=5 m trajectory extent (:1408-1414), pose-covariance drift gate
+    # (:1416-1418), >=5 m spacing, elevation override;
+    # mapOptmization.cpp:1441-1476)
     gz = jnp.where(params.use_gps_elevation, gps_enu[2], pose[5])
     gsz = jnp.where(params.use_gps_elevation, gps_sigma[2], 0.1)
     enu = jnp.stack([gps_enu[0], gps_enu[1], gz])
     sig = jnp.maximum(jnp.stack([gps_sigma[0], gps_sigma[1], gsz]), 1.0)
     far = jnp.linalg.norm(enu - state.g_last) >= 5.0
-    add_gps = gps_has & far & (state.g_count < state.g_i.shape[0])
+    traveled = jnp.linalg.norm(pose[3:6] - state.kf_poses[0, 3:6]) >= 5.0
+    cov_open = marginal.gate_open(g_P, params.pose_cov_threshold)
+    add_gps = (
+        gps_has & far & traveled & cov_open
+        & (state.g_count < state.g_i.shape[0])
+    )
     gi = jnp.minimum(state.g_count, state.g_i.shape[0] - 1)
     g_i = jnp.where(add_gps, state.g_i.at[gi].set(k), state.g_i)
     g_t = jnp.where(add_gps, state.g_t.at[gi].set(enu), state.g_t)
     g_sqrt = jnp.where(add_gps, state.g_sqrt.at[gi].set(1.0 / sig), state.g_sqrt)
     g_count = state.g_count + add_gps.astype(jnp.int32)
     g_last = jnp.where(add_gps, enu, state.g_last)
+    g_P = jnp.where(
+        add_gps,
+        marginal.gps_update(g_P, sig[0] ** 2, sig[1] ** 2, jnp),
+        g_P,
+    )
 
     mid = state._replace(
         kf_poses=kf_poses, kf_times=kf_times, kf_clouds=kf_clouds,
         kf_masks=kf_masks, kf_count=jnp.minimum(state.kf_count + 1, K),
         sc_descs=sc_descs, sc_keys=sc_keys, e_Rm=e_Rm, e_tm=e_tm,
         g_i=g_i, g_t=g_t, g_sqrt=g_sqrt, g_count=g_count, g_last=g_last,
+        g_P=g_P,
     )
 
     # in-graph loop closure (1 Hz cadence gated by do_loop; statically
@@ -560,6 +587,7 @@ def _bootstrap_impl(
         g_sqrt=jnp.ones((G, 3), jnp.float32),
         g_count=jnp.asarray(0, jnp.int32),
         g_last=jnp.full((3,), -1.0e9, jnp.float32),
+        g_P=marginal.initial_cov(jnp),
         l_i=jnp.zeros((L,), jnp.int32),
         l_j=jnp.zeros((L,), jnp.int32),
         l_Rm=jnp.tile(jnp.eye(3, dtype=jnp.float32), (L, 1, 1)),
@@ -597,6 +625,7 @@ class ResidentPipeline(LiorfPipeline):
             cell_size=cfg.grid_cell_size,
             kf_cloud_cap=cfg.kf_cloud_capacity,
             use_gps_elevation=cfg.useGpsElevation,
+            pose_cov_threshold=cfg.poseCovThreshold,
             loop_enabled=bool(cfg.loopClosureEnableFlag),
             loop_search_radius=cfg.historyKeyframeSearchRadius,
             loop_time_diff=cfg.historyKeyframeSearchTimeDiff,

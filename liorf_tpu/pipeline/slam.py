@@ -20,6 +20,7 @@ import numpy as np
 
 from ..core import se3np
 from ..core.pointcloud import PAD_COORD
+from ..graph import marginal
 from ..graph import pose_graph as pg
 from ..imu import fusion as imu_fusion
 from ..imu import preintegration as preint
@@ -109,6 +110,9 @@ class LiorfPipeline:
             1, int(round(10.0 / max(cfg.loopClosureFrequency, 0.1)))
         )
         self.last_gps_xyz = None
+        # (yaw, x, y) marginal covariance of the latest keyframe — the
+        # reference's poseCovThreshold GPS gate input (see graph/marginal.py)
+        self.pose_cov = marginal.initial_cov(np).astype(np.float64)
         self._ext_rot = cfg.ext_rot
         self._ext_rpy_quat = se3np.rot_to_quat_wxyz(cfg.ext_rpy)
         self._time_base_val: float | None = None
@@ -316,6 +320,10 @@ class LiorfPipeline:
                     cauchy=0.0,
                 )
             )
+            self.pose_cov = marginal.propagate(
+                self.pose_cov, float(prev_pose[2]),
+                np.asarray([rel[2], rel[3], rel[4]], np.float64), np,
+            )
 
         loop_or_gps |= self._maybe_add_gps_factor(new_idx, stamp, pose)
 
@@ -336,10 +344,17 @@ class LiorfPipeline:
 
     def _maybe_add_gps_factor(self, new_idx, stamp, pose) -> bool:
         """addGPSFactor gating (mapOptmization.cpp:1402-1480): +-0.2 s time
-        alignment, covariance gate, elevation override, >=5 m spacing. (The
-        pose-covariance gate needs graph marginals; approximated by the
-        spacing rule.)"""
+        alignment, covariance gates, elevation override, >=5 m spacing, and
+        the >=5 m trajectory-extent settle gate (:1408-1414). The
+        poseCovThreshold gate (:1416-1418) reads the propagated chain
+        marginal (graph/marginal.py) in place of iSAM2's."""
         cfg = self.cfg
+        if new_idx > 0 and (
+            np.linalg.norm(self.store.poses[0][3:6] - pose[3:6]) < 5.0
+        ):
+            return False
+        if not marginal.gate_open(self.pose_cov, cfg.poseCovThreshold):
+            return False
         while self.gps_queue:
             ts, enu, cov = self.gps_queue[0]
             if ts < stamp - 0.2:
@@ -366,6 +381,9 @@ class LiorfPipeline:
             self.last_gps_xyz = cur
             sig = np.sqrt(np.maximum([cov[0], cov[1], nz], 1.0)).astype(np.float32)
             self.gps_factors.append(dict(i=new_idx, t=cur.astype(np.float32), sigma=sig))
+            self.pose_cov = marginal.gps_update(
+                self.pose_cov, float(sig[0]) ** 2, float(sig[1]) ** 2, np
+            )
             return True
         return False
 
