@@ -113,6 +113,11 @@ def cmd_run(args):
     pipe.save_tum(os.path.join(args.out, "trajectory_tum.txt"))
     if args.save_map:
         save_map(pipe, args.out, resolution=args.resolution)
+    elif cfg.savePCD:
+        # reference parity: auto-export on shutdown when savePCD is set
+        # (mapOptmization.cpp:442-450 invokes the save_map service with
+        # default resolution into savePCDDirectory)
+        save_map(pipe, os.path.expanduser(cfg.savePCDDirectory))
     if args.checkpoint:
         save_checkpoint(pipe, os.path.join(args.out, "checkpoint.pkl"))
     if args.viz:

@@ -639,6 +639,16 @@ class ResidentPipeline(LiorfPipeline):
     def process_scan(self, scan) -> FrameResult:
         cfg = self.cfg
         t0, t1 = scan.stamp, scan.end_time
+        if (
+            cfg.mappingProcessInterval > 0.0
+            and self.last_scan_stamp is not None
+            and t0 - self.last_scan_stamp < cfg.mappingProcessInterval
+        ):
+            # mapping throttle (mapOptmization.cpp:254-255)
+            return FrameResult(
+                stamp=t0, pose=None, degenerate=False,
+                is_keyframe=False, num_matched=0,
+            )
         base = self._time_base(t0)
         xyz, rts, msk = self._pack_scan(scan)
         dk_t, _, dk_gyr, _, dk_m, _ = self._imu_window(

@@ -221,6 +221,18 @@ class LiorfPipeline:
         cfg = self.cfg
         t0 = scan.stamp
         t1 = scan.end_time
+        if (
+            cfg.mappingProcessInterval > 0.0
+            and self.last_scan_stamp is not None
+            and t0 - self.last_scan_stamp < cfg.mappingProcessInterval
+        ):
+            # mapping throttle (mapOptmization.cpp:254-255): clouds arriving
+            # faster than the interval are dropped; IMU-rate odometry
+            # (imu_rate_poses, the TransformFusion equivalent) covers the gap
+            return FrameResult(
+                stamp=t0, pose=None, degenerate=False,
+                is_keyframe=False, num_matched=0,
+            )
         base = self._time_base(t0)
 
         xyz, rts, msk = self._pack_scan(scan)

@@ -76,3 +76,16 @@ def test_e2e_keyframes_and_graph():
     # keyframe poses stay near the odometry trajectory
     kf_t, kf_poses = pipe.keyframe_trajectory()
     assert np.isfinite(kf_poses).all()
+
+
+@pytest.mark.slow
+def test_mapping_throttle():
+    """mappingProcessInterval (mapOptmization.cpp:254-255): clouds arriving
+    faster than the interval are dropped, others map normally."""
+    cfg = small_config()
+    cfg.mappingProcessInterval = 0.15
+    syn, pipe = run_pipeline(n_frames=12, cfg=cfg)
+    times, poses = pipe.trajectory_arrays()
+    # 10 Hz scans with a 0.15 s throttle -> every other frame mapped
+    assert 5 <= len(poses) <= 7, len(poses)
+    assert np.isfinite(poses).all()
