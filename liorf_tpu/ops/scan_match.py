@@ -74,8 +74,15 @@ def _rot_derivatives(rpy: jax.Array) -> jax.Array:
     return jnp.stack([d_roll, d_pitch, d_yaw])
 
 
-def _build_system(pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params):
-    """One linearization: correspondences + plane fits + (H, g, count)."""
+def _build_system(pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params,
+                  axis_name=None):
+    """One linearization: correspondences + plane fits + (H, g, count).
+
+    With ``axis_name`` set (running inside ``shard_map`` with scan points
+    sharded across devices), the 6x6 normal equations and the match count
+    are ``psum``-reduced over the mesh axis — the OpenMP-over-points loop
+    of the reference (mapOptmization.cpp:1078) scaled across chips.
+    """
     R = se3.euler_to_rot(pose[:3])
     t = pose[3:]
     world = scan_xyz @ R.T + t
@@ -100,7 +107,12 @@ def _build_system(pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params):
 
     H = jnp.einsum("ni,nj->ij", J, J, precision=_HIGH)
     g = jnp.einsum("ni,n->i", J, b, precision=_HIGH)
-    return H, g, jnp.sum(sel.astype(jnp.int32))
+    count = jnp.sum(sel.astype(jnp.int32))
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        g = jax.lax.psum(g, axis_name)
+        count = jax.lax.psum(count, axis_name)
+    return H, g, count
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -116,6 +128,26 @@ def scan_to_map(
     scan_xyz: [N, 3] deskewed points in the *sensor* frame; init_pose [6]
     rpyxyz mapping sensor -> map frame.
     """
+    return scan_to_map_impl(scan_xyz, scan_mask, grid, init_pose, params)
+
+
+def scan_to_map_impl(
+    scan_xyz: jax.Array,
+    scan_mask: jax.Array,
+    grid: SpatialHashGrid,
+    init_pose: jax.Array,
+    params: ScanMatchParams = ScanMatchParams(),
+    axis_name: str | None = None,
+) -> ScanMatchResult:
+    """Traceable body of :func:`scan_to_map`.
+
+    ``axis_name`` enables the multi-chip data-parallel mode: call inside
+    ``shard_map`` with scan_xyz/scan_mask sharded over that mesh axis and
+    the grid + init_pose replicated; each device searches correspondences
+    for its point shard and the GN update is computed identically
+    everywhere from the psum-reduced normal equations
+    (see dist/sharded_frontend.py).
+    """
     # |p|^(1/4) of the sensor-frame points (reference's weighting term).
     scan_norm_quarter = jnp.sqrt(jnp.sqrt(jnp.linalg.norm(scan_xyz, axis=-1) + 1e-12))
 
@@ -126,7 +158,8 @@ def scan_to_map(
     def body(state):
         pose, P, degenerate, it, done = state
         H, g, count = _build_system(
-            pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params
+            pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params,
+            axis_name,
         )
         enough = count >= params.min_points
 
@@ -166,7 +199,7 @@ def scan_to_map(
 
     # Final match count at the solution (for diagnostics / keyframe gating).
     _, _, count = _build_system(
-        pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params
+        pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params, axis_name
     )
     return ScanMatchResult(
         pose=pose,
