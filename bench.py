@@ -94,7 +94,8 @@ def main():
         downsampleRate=1,
         mappingSurfLeafSize=0.3,
         surroundingKeyframeMapLeafSize=0.3,
-        loopClosureEnableFlag=False,
+        # full pipeline: in-graph RS+ScanContext loop closure at 1 Hz cadence
+        loopClosureEnableFlag=True,
     )
     # Device-resident pipeline: zero device->host pulls during the run (a
     # single pull permanently degrades the tunneled session to ~30ms/dispatch)
@@ -127,6 +128,7 @@ def main():
                 "ate_rmse_m": round(float(ate), 4),
                 "frames": n_timed,
                 "points_per_scan": int(np.mean([len(s.xyz) for s in scans])),
+                "loop_closure": bool(cfg.loopClosureEnableFlag),
                 "backend": str(jax.devices()[0]),
             }
         )
