@@ -217,6 +217,7 @@ def _demo_main(argv=None) -> int:
     p.add_argument("--edges-per-node", type=int, default=2)
     p.add_argument("--gn-iters", type=int, default=4)
     p.add_argument("--pcg-iters", type=int, default=48)
+    p.add_argument("--inner-iters", type=int, default=0)
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args(argv)
 
@@ -230,7 +231,10 @@ def _demo_main(argv=None) -> int:
     # weak scaling: problem size grows with the mesh
     K = args.nodes_per_device * n_dev
     graph, gt, n = demo_graph(K, K * args.edges_per_node, max(8, K // 8))
-    params = SolveParams(gn_iters=args.gn_iters, pcg_iters=args.pcg_iters)
+    params = SolveParams(
+        gn_iters=args.gn_iters, pcg_iters=args.pcg_iters,
+        inner_iters=args.inner_iters,
+    )
 
     out = solve_multihost(graph, mesh, free_from=0, params=params)  # compile+warm
     t0 = time.perf_counter()

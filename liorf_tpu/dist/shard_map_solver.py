@@ -99,7 +99,63 @@ def _local_factor_terms(graph: pg.PoseGraph, Rs_g, ts_g, free_w):
         out = out.at[g.g_i].add(jnp.einsum("gri,gr->gi", Jg, y_g, precision=_HIGH))
         return out
 
-    return rhs, diag, matvec
+    return rhs, diag, matvec, (Ji, Jj, Jg)
+
+
+def _local_matvec(graph: pg.PoseGraph, Ji, Jj, Jg, Kl, offset):
+    """Shard-LOCAL normal-equation operator (additive-Schwarz block).
+
+    Restricts this shard's factor block to the locally-owned node range
+    [offset, offset+Kl): couplings to out-of-shard nodes are clipped
+    (standard Schwarz truncation — each clipped JᵀJ term stays PSD, and
+    the outer damping keeps the local operator SPD). Applying it needs
+    ZERO collectives, which is the whole point: it serves as the inner
+    solve of the communication-avoiding inner-outer PCG.
+
+    Also returns the operator's own [Kl, 6, 6] block-diagonal so the
+    caller can complete it to the TRUE global block diagonal: the clipped
+    operator alone leaves each shard's gauge directions (absolute
+    rotation, anchored globally only by the prior and cross-shard
+    couplings) nearly unconstrained, and an inner CG solve then amplifies
+    those near-null components catastrophically."""
+    li = graph.e_i - offset
+    lj = graph.e_j - offset
+    lg = graph.g_i - offset
+    wi = ((li >= 0) & (li < Kl)).astype(Ji.dtype)
+    wj = ((lj >= 0) & (lj < Kl)).astype(Jj.dtype)
+    wg = ((lg >= 0) & (lg < Kl)).astype(Jg.dtype)
+    li = jnp.clip(li, 0, Kl - 1)
+    lj = jnp.clip(lj, 0, Kl - 1)
+    lg = jnp.clip(lg, 0, Kl - 1)
+
+    def matvec(x_l):  # x_l: [Kl, 6] local
+        yi = jnp.einsum("eri,ei->er", Ji, x_l[li], precision=_HIGH) * wi[:, None]
+        yj = jnp.einsum("eri,ei->er", Jj, x_l[lj], precision=_HIGH) * wj[:, None]
+        y_e = yi + yj
+        y_g = jnp.einsum("gri,gi->gr", Jg, x_l[lg], precision=_HIGH) * wg[:, None]
+        out = jnp.zeros_like(x_l)
+        out = out.at[li].add(
+            jnp.einsum("eri,er->ei", Ji, y_e, precision=_HIGH) * wi[:, None]
+        )
+        out = out.at[lj].add(
+            jnp.einsum("eri,er->ei", Jj, y_e, precision=_HIGH) * wj[:, None]
+        )
+        out = out.at[lg].add(
+            jnp.einsum("gri,gr->gi", Jg, y_g, precision=_HIGH) * wg[:, None]
+        )
+        return out
+
+    diag_own = jnp.zeros((Kl, 6, 6), Ji.dtype)
+    diag_own = diag_own.at[li].add(
+        jnp.einsum("eri,erj->eij", Ji, Ji, precision=_HIGH) * wi[:, None, None]
+    )
+    diag_own = diag_own.at[lj].add(
+        jnp.einsum("eri,erj->eij", Jj, Jj, precision=_HIGH) * wj[:, None, None]
+    )
+    diag_own = diag_own.at[lg].add(
+        jnp.einsum("gri,grj->gij", Jg, Jg, precision=_HIGH) * wg[:, None, None]
+    )
+    return matvec, diag_own
 
 
 def _prior_terms(graph: pg.PoseGraph, Rs_g, ts_g, free_w, first):
@@ -141,7 +197,9 @@ def _shard_body(graph: pg.PoseGraph, free_from, params: SolveParams, axis: str):
     def gn_step(carry, _):
         Rs_l, ts_l = carry  # local node block
         Rs_g, ts_g = gather(Rs_l), gather(ts_l)
-        rhs_f, diag_f, mv_f = _local_factor_terms(graph, Rs_g, ts_g, free_w_g)
+        rhs_f, diag_f, mv_f, jacs = _local_factor_terms(
+            graph, Rs_g, ts_g, free_w_g
+        )
         rhs_p, diag_p, mv_p = _prior_terms(graph, Rs_g, ts_g, free_w_g, first)
 
         # one reduce-scatter each: full-range contributions -> local block
@@ -150,7 +208,7 @@ def _shard_body(graph: pg.PoseGraph, free_from, params: SolveParams, axis: str):
 
         eye = jnp.eye(6, dtype=rhs_l.dtype)
         Minv_l = jnp.linalg.inv(diag_l + eye[None] * (params.damping + 1e-6))
-        apply_M = lambda r: jnp.einsum("kij,kj->ki", Minv_l, r, precision=_HIGH)
+        apply_bj = lambda r: jnp.einsum("kij,kj->ki", Minv_l, r, precision=_HIGH)
 
         def A(x_l):
             # all_gather the direction, local factor matvec, reduce-scatter
@@ -161,25 +219,99 @@ def _shard_body(graph: pg.PoseGraph, free_from, params: SolveParams, axis: str):
         def dot(a, b):
             return jax.lax.psum(jnp.vdot(a, b), axis)
 
-        x0 = jnp.zeros_like(rhs_l)
-        z0 = apply_M(rhs_l)
-        rz0 = dot(rhs_l, z0)
+        if params.inner_iters > 0:
+            # ---- communication-avoiding inner-outer PCG ----
+            # Preconditioner = inner CG on the shard-LOCAL (Schwarz-clipped)
+            # normal equations: zero collectives per inner iteration, so the
+            # global collective count is set by the (few) outer iterations.
+            offset = jax.lax.axis_index(axis) * Kl
+            mv_loc, diag_own = _local_matvec(graph, *jacs, Kl, offset)
+            # complete the clipped operator's block diagonal to the true
+            # global one (diag_l includes every shard's factors + prior):
+            # the PSD correction anchors boundary nodes and each shard's
+            # gauge directions, keeping the inner system well-conditioned
+            diag_corr = diag_l - diag_own
 
-        def body(c, _):
-            x, r, p_, rz = c
-            Ap = A(p_)
-            denom = dot(p_, Ap)
-            alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
-            x = x + alpha * p_
-            r = r - alpha * Ap
-            z = apply_M(r)
-            rz_new = dot(r, z)
-            beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
-            return (x, r, z + beta * p_, rz_new), None
+            def A_loc(x_l):
+                return (
+                    mv_loc(x_l)
+                    + jnp.einsum("kij,kj->ki", diag_corr, x_l, precision=_HIGH)
+                    + params.damping * x_l
+                )
 
-        (dx_l, _, _, _), _ = jax.lax.scan(
-            body, (x0, rhs_l, z0, rz0), None, length=params.pcg_iters
-        )
+            def apply_M(r):
+                def ibody(c, _):
+                    x, rr, p_, rz = c
+                    Ap = A_loc(p_)
+                    denom = jnp.vdot(p_, Ap)
+                    alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+                    x = x + alpha * p_
+                    rr = rr - alpha * Ap
+                    z = apply_bj(rr)
+                    rz_new = jnp.vdot(rr, z)
+                    beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+                    return (x, rr, z + beta * p_, rz_new), None
+
+                z0 = apply_bj(r)
+                (x, _, _, _), _ = jax.lax.scan(
+                    ibody,
+                    (jnp.zeros_like(r), r, z0, jnp.vdot(r, z0)),
+                    None,
+                    length=params.inner_iters,
+                )
+                return x
+
+            # flexible (Polak-Ribiere) outer CG: the inner solve is only
+            # approximately linear, so beta uses z'(r_new - r_old)
+            def body(c, _):
+                x, r, p_, z, rz = c
+                Ap = A(p_)
+                denom = dot(p_, Ap)
+                alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+                x = x + alpha * p_
+                r_new = r - alpha * Ap
+                z_new = apply_M(r_new)
+                # one fused reduction for both scalars
+                pair = jax.lax.psum(
+                    jnp.stack([jnp.vdot(r_new, z_new), jnp.vdot(r, z_new)]),
+                    axis,
+                )
+                rz_new = pair[0]
+                beta = jnp.where(jnp.abs(rz) > 1e-20, (pair[0] - pair[1]) / rz, 0.0)
+                return (x, r_new, z_new + beta * p_, z_new, rz_new), None
+
+            z0 = apply_M(rhs_l)
+            rz0 = dot(rhs_l, z0)
+            # with inner solves, pcg_iters counts OUTER iterations (each
+            # outer step costs 4 collectives + inner_iters local matvecs)
+            n_outer = params.pcg_iters
+            (dx_l, _, _, _, _), _ = jax.lax.scan(
+                body,
+                (jnp.zeros_like(rhs_l), rhs_l, z0, z0, rz0),
+                None,
+                length=n_outer,
+            )
+        else:
+            # ---- standard block-Jacobi PCG ----
+            def body(c, _):
+                x, r, p_, rz = c
+                Ap = A(p_)
+                denom = dot(p_, Ap)
+                alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+                x = x + alpha * p_
+                r = r - alpha * Ap
+                z = apply_bj(r)
+                rz_new = dot(r, z)
+                beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+                return (x, r, z + beta * p_, rz_new), None
+
+            z0 = apply_bj(rhs_l)
+            rz0 = dot(rhs_l, z0)
+            (dx_l, _, _, _), _ = jax.lax.scan(
+                body, (jnp.zeros_like(rhs_l), rhs_l, z0, rz0), None,
+                length=params.pcg_iters,
+            )
+
         dx_l = dx_l * free_local[:, None]
         Rs_new, ts_new = jax.vmap(se3.se3_retract)(Rs_l, ts_l, dx_l)
         return (Rs_new, ts_new), None

@@ -35,6 +35,7 @@ def launch(
     nodes_per_device: int = 64,
     pcg_iters: int = 48,
     gn_iters: int = 4,
+    inner_iters: int = 0,
     repeats: int = 3,
     timeout: float = 420.0,
 ) -> dict:
@@ -58,6 +59,7 @@ def launch(
             "--nodes-per-device", str(nodes_per_device),
             "--pcg-iters", str(pcg_iters),
             "--gn-iters", str(gn_iters),
+            "--inner-iters", str(inner_iters),
             "--repeats", str(repeats),
         ]
         procs.append(
@@ -91,13 +93,14 @@ def main() -> int:
     ap.add_argument("--nodes-per-device", type=int, default=64)
     ap.add_argument("--pcg-iters", type=int, default=48)
     ap.add_argument("--gn-iters", type=int, default=4)
+    ap.add_argument("--inner-iters", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
     import json
 
     res = launch(
         args.num_processes, args.local_devices, args.nodes_per_device,
-        args.pcg_iters, args.gn_iters, args.repeats,
+        args.pcg_iters, args.gn_iters, args.inner_iters, args.repeats,
     )
     print(json.dumps(res))
     return 0

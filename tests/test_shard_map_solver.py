@@ -63,6 +63,23 @@ def test_shard_map_matches_single_device(n_dev):
     assert err < 0.5 * init_err
 
 
+def test_inner_outer_matches_single_device():
+    """Communication-avoiding inner-outer PCG (per-shard Schwarz inner
+    solves + flexible outer CG) reaches the same solution with ~6x fewer
+    global collectives (outer iters = pcg_iters / inner_iters)."""
+    graph, gt, n = _circle_graph()
+    params = pg.SolveParams(gn_iters=4, pcg_iters=48, inner_iters=8)
+    ref = pg.solve(graph, free_from=0, params=pg.SolveParams(gn_iters=4, pcg_iters=48))
+    mesh = make_mesh(8)
+    out = solve_shard_map(graph, mesh, free_from=0, params=params)
+    np.testing.assert_allclose(
+        np.asarray(out.ts[:n]), np.asarray(ref.ts[:n]), atol=5e-3
+    )
+    err = np.linalg.norm(np.asarray(out.ts[:n]) - gt[:n], axis=1).mean()
+    init_err = np.linalg.norm(np.asarray(graph.ts[:n]) - gt[:n], axis=1).mean()
+    assert err < 0.5 * init_err
+
+
 def test_shard_map_trailing_window():
     graph, gt, n = _circle_graph()
     params = pg.SolveParams(gn_iters=2, pcg_iters=32)
