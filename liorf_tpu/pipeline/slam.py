@@ -123,8 +123,16 @@ class LiorfPipeline:
     def push_imu(self, s: ImuSample):
         """imuConverter (utility.h:257-290): rotate acc/gyr into the lidar
         frame with extrinsicRot; 9-axis attitude composed with extrinsicRPY."""
-        acc = self._ext_rot @ np.asarray(s.acc, np.float64)
-        gyr = self._ext_rot @ np.asarray(s.gyr, np.float64)
+        acc_raw = np.asarray(s.acc, np.float64)
+        gyr_raw = np.asarray(s.gyr, np.float64)
+        if not (np.isfinite(acc_raw).all() and np.isfinite(gyr_raw).all()):
+            # drop corrupt samples at the door: one NaN reaching the device
+            # poisons preintegration and every downstream state (the
+            # reference would integrate it into GTSAM and fail far from the
+            # cause); deskew/fusion windows interpolate across the gap
+            return
+        acc = self._ext_rot @ acc_raw
+        gyr = self._ext_rot @ gyr_raw
         quat = s.quat_wxyz
         if self.cfg.imuType == 1 and quat is not None:
             quat = _quat_mul_np(np.asarray(quat, np.float64), self._ext_rpy_quat)
