@@ -204,21 +204,26 @@ class LiorfPipeline:
 
     def _pack_scan(self, scan: LidarScan):
         cfg = self.cfg
-        rng = np.linalg.norm(scan.xyz, axis=1)
-        keep = (rng >= cfg.lidarMinRange) & (rng <= cfg.lidarMaxRange)
+        pts_in = scan.xyz
+        # squared-range gate (skips the sqrt over the whole cloud); NaN/inf
+        # points fail the comparison and are dropped
+        d2 = np.einsum("ij,ij->i", pts_in, pts_in)
+        with np.errstate(invalid="ignore"):
+            keep = (d2 >= cfg.lidarMinRange**2) & (d2 <= cfg.lidarMaxRange**2)
+        keep &= np.isfinite(pts_in).all(axis=1)
         if cfg.downsampleRate > 1:
             keep &= (scan.ring % cfg.downsampleRate) == 0
         if cfg.point_filter_num > 1:
-            keep &= (np.arange(len(scan.xyz)) % cfg.point_filter_num) == 0
-        pts = scan.xyz[keep]
-        rel = scan.rel_time[keep]
+            keep &= (np.arange(len(pts_in)) % cfg.point_filter_num) == 0
+        idx = np.flatnonzero(keep)
         cap = cfg.scan_capacity
-        n = min(len(pts), cap)
+        n = min(len(idx), cap)
+        idx = idx[:n]
         xyz = np.full((cap, 3), PAD_COORD, np.float32)
         rts = np.zeros(cap, np.float32)
         msk = np.zeros(cap, bool)
-        xyz[:n] = pts[:n]
-        rts[:n] = rel[:n]
+        xyz[:n] = pts_in[idx]
+        rts[:n] = scan.rel_time[idx]
         msk[:n] = True
         return xyz, rts, msk
 
