@@ -71,8 +71,46 @@ def get_lib():
     lib.ln_prefetcher_size.restype = ctypes.c_int64
     lib.ln_prefetcher_size.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.ln_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    lib.ln_pack_scan.restype = ctypes.c_int64
+    lib.ln_pack_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return _lib
+
+
+def pack_scan_into(
+    xyz: np.ndarray, rel: np.ndarray, ring: np.ndarray,
+    min_r2: float, max_r2: float, dsr: int, pfn: int,
+    xyz_out: np.ndarray, rts_out: np.ndarray, msk_out: np.ndarray,
+) -> int:
+    """One-pass range/ring/stride filter + pad, written straight into the
+    caller's f32 buffers (mask as 0.0/1.0). Returns the kept count, or -1
+    when the native lib is unavailable (callers fall back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return -1
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    rel = np.ascontiguousarray(rel, np.float64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    cap = len(msk_out)
+    ring_p = None
+    if dsr > 1 and ring is not None:
+        ring = np.ascontiguousarray(ring, np.int32)
+        ring_p = ring.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    return int(
+        lib.ln_pack_scan(
+            xyz.ctypes.data_as(fp),
+            rel.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ring_p, len(xyz), min_r2, max_r2, dsr, pfn, cap,
+            xyz_out.ctypes.data_as(fp), rts_out.ctypes.data_as(fp),
+            msk_out.ctypes.data_as(fp),
+        )
+    )
 
 
 def pc2_extract(data: bytes, n: int, point_step: int, fields):

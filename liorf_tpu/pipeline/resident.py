@@ -521,9 +521,11 @@ def resident_step(
 
 def frame_buf_size(S: int, W: int) -> int:
     """Flat f32 frame-input buffer length for scan capacity S, IMU window W."""
-    # xyz 3S + rel S + mask S | scan_start 1 | deskew W+3W+W |
-    # fusion 3W+3W+W+W | rpy 3 + ok 1 | gps 1+3+3 | do_loop 1
-    return 5 * S + 13 * W + 13
+    # xyz 3S + rel S + n_kept 1 (mask is recomputed on device — points are
+    # packed compactly, so mask = arange < n_kept; saves S floats of wire)
+    # | scan_start 1 | deskew W+3W+W | fusion 3W+3W+W+W | rpy 3 + ok 1 |
+    # gps 1+3+3 | do_loop 1
+    return 4 * S + 13 * W + 14
 
 
 def _unpack_frame(buf: jax.Array, S: int, W: int):
@@ -538,7 +540,8 @@ def _unpack_frame(buf: jax.Array, S: int, W: int):
 
     xyz = take(3 * S).reshape(S, 3)
     rel_t = take(S)
-    mask = take(S) > 0.5
+    n_kept = take(1)[0]
+    mask = jnp.arange(S, dtype=jnp.float32) < n_kept
     scan_start = take(1)[0]
     dk_times = take(W)
     dk_gyr = take(3 * W).reshape(W, 3)
@@ -705,7 +708,6 @@ class ResidentPipeline(LiorfPipeline):
                 is_keyframe=False, num_matched=0,
             )
         base = self._time_base(t0)
-        xyz, rts, msk = self._pack_scan(scan)
         dk_t, _, dk_gyr, _, dk_m, _ = self._imu_window(
             t0 - 0.01, t1 + 0.01, cfg.imu_window
         )
@@ -716,6 +718,7 @@ class ResidentPipeline(LiorfPipeline):
         )
 
         if self.state is None:
+            xyz, rts, msk = self._pack_scan(scan)
             init_pose = self.last_pose.copy()
             if imu_rpy_ok:
                 init_pose[0] = imu_rpy[0]
@@ -742,16 +745,31 @@ class ResidentPipeline(LiorfPipeline):
             # memory zero-copy, so reusing one buffer would race the async
             # execution of the previous frame
             buf = np.empty(frame_buf_size(S, W), np.float32)
-            o = 0
+            # scan slices packed in-place (native one-pass filter when
+            # available; numpy fallback otherwise)
+            from .. import native
+
+            scratch_msk = np.empty(S, np.float32)
+            n_kept = native.pack_scan_into(
+                scan.xyz, scan.rel_time, scan.ring,
+                cfg.lidarMinRange**2, cfg.lidarMaxRange**2,
+                cfg.downsampleRate, cfg.point_filter_num,
+                buf[: 3 * S].reshape(S, 3), buf[3 * S : 4 * S],
+                scratch_msk,
+            )
+            if n_kept < 0:
+                xyz, rts, msk = self._pack_scan(scan)
+                buf[: 3 * S] = xyz.ravel()
+                buf[3 * S : 4 * S] = rts
+                n_kept = int(msk.sum())
+            buf[4 * S] = float(n_kept)
+            o = 4 * S + 1
 
             def put(a, n):
                 nonlocal o
                 buf[o : o + n] = a
                 o += n
 
-            put(xyz.ravel(), 3 * S)
-            put(rts, S)
-            put(msk, S)
             put(scan_start, 1)
             put(dk_t, W)
             put(dk_gyr.ravel(), 3 * W)

@@ -61,3 +61,38 @@ def test_prefetcher_roundtrip(lib, tmp_path, rng):
     for i in range(2, 10):
         assert pf.get(i) == contents[i]
     pf.close()
+
+
+def test_pack_scan_matches_numpy(lib, rng):
+    """ln_pack_scan parity with the numpy _pack_scan filter, including
+    NaN/inf points, ring decimation, and point stride."""
+    from liorf_tpu.pipeline import ResidentPipeline, SlamConfig
+
+    n = 7000
+    xyz = rng.normal(scale=30.0, size=(n, 3)).astype(np.float32)
+    xyz[::13] = np.nan
+    xyz[1::97] = np.inf
+    rel = rng.random(n).astype(np.float64) * 0.1
+    ring = (np.arange(n) % 16).astype(np.int32)
+
+    cfg = SlamConfig(scan_capacity=2048, downsampleRate=2, point_filter_num=3)
+    pipe = ResidentPipeline(cfg)
+
+    class Scan:
+        pass
+
+    s = Scan()
+    s.xyz, s.rel_time, s.ring = xyz, rel, ring
+    xyz_ref, rts_ref, msk_ref = pipe._pack_scan(s)
+
+    S = cfg.scan_capacity
+    buf = np.empty(5 * S, np.float32)
+    kept = native.pack_scan_into(
+        xyz, rel, ring, cfg.lidarMinRange**2, cfg.lidarMaxRange**2,
+        cfg.downsampleRate, cfg.point_filter_num,
+        buf[: 3 * S].reshape(S, 3), buf[3 * S : 4 * S], buf[4 * S : 5 * S],
+    )
+    assert kept == int(msk_ref.sum())
+    np.testing.assert_array_equal(buf[: 3 * S].reshape(S, 3), xyz_ref)
+    np.testing.assert_array_equal(buf[3 * S : 4 * S], rts_ref)
+    np.testing.assert_array_equal(buf[4 * S : 5 * S], msk_ref.astype(np.float32))
