@@ -188,7 +188,10 @@ def demo_graph(K: int, E: int, G: int, noise: float = 0.15, seed: int = 0):
     e_i[n - 1], e_j[n - 1], e_mask[n - 1] = n - 1, 0, True
     e_tm[n - 1] = gt[0] - gt[n - 1]
 
-    g_idx = np.linspace(0, n - 1, G, dtype=np.int32)
+    g_idx = np.unique(np.linspace(0, n - 1, G, dtype=np.int32))
+    g_mask = np.zeros(G, bool)
+    g_mask[: len(g_idx)] = True
+    g_idx = np.pad(g_idx, (0, G - len(g_idx)))
     ts_full = np.zeros((K, 3), np.float32)
     ts_full[:n] = ts
     return graph._replace(
@@ -201,7 +204,7 @@ def demo_graph(K: int, E: int, G: int, noise: float = 0.15, seed: int = 0):
         e_mask=jnp.asarray(e_mask),
         g_i=jnp.asarray(g_idx),
         g_t=jnp.asarray(gt[g_idx]),
-        g_mask=jnp.asarray(np.arange(G) < G),
+        g_mask=jnp.asarray(g_mask),
         prior_t=jnp.asarray(gt[0]),
     ), gt, n
 

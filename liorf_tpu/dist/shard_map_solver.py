@@ -264,7 +264,7 @@ def _shard_body(graph: pg.PoseGraph, free_from, params: SolveParams, axis: str):
             # flexible (Polak-Ribiere) outer CG: the inner solve is only
             # approximately linear, so beta uses z'(r_new - r_old)
             def body(c, _):
-                x, r, p_, z, rz = c
+                x, r, p_, rz = c
                 Ap = A(p_)
                 denom = dot(p_, Ap)
                 alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
@@ -278,16 +278,16 @@ def _shard_body(graph: pg.PoseGraph, free_from, params: SolveParams, axis: str):
                 )
                 rz_new = pair[0]
                 beta = jnp.where(jnp.abs(rz) > 1e-20, (pair[0] - pair[1]) / rz, 0.0)
-                return (x, r_new, z_new + beta * p_, z_new, rz_new), None
+                return (x, r_new, z_new + beta * p_, rz_new), None
 
             z0 = apply_M(rhs_l)
             rz0 = dot(rhs_l, z0)
             # with inner solves, pcg_iters counts OUTER iterations (each
             # outer step costs 4 collectives + inner_iters local matvecs)
             n_outer = params.pcg_iters
-            (dx_l, _, _, _, _), _ = jax.lax.scan(
+            (dx_l, _, _, _), _ = jax.lax.scan(
                 body,
-                (jnp.zeros_like(rhs_l), rhs_l, z0, z0, rz0),
+                (jnp.zeros_like(rhs_l), rhs_l, z0, rz0),
                 None,
                 length=n_outer,
             )

@@ -784,6 +784,10 @@ class ResidentPipeline(LiorfPipeline):
             put(gps_enu, 3)
             put(gps_sigma, 3)
             put(float(do_loop), 1)
+            # the layout lives in three places (frame_buf_size, this pack
+            # sequence, _unpack_frame); a mismatch must fail loudly, not
+            # feed np.empty garbage to the device
+            assert o == buf.size, f"frame buffer layout drift: {o} != {buf.size}"
             self.state = resident_step_packed(
                 self.state, jnp.asarray(buf), self.params, S, W
             )

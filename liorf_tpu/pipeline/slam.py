@@ -135,9 +135,18 @@ class LiorfPipeline:
         gyr = self._ext_rot @ gyr_raw
         quat = s.quat_wxyz
         if self.cfg.imuType == 1 and quat is not None:
-            quat = _quat_mul_np(np.asarray(quat, np.float64), self._ext_rpy_quat)
-            if np.linalg.norm(quat) < 0.1:
-                raise ValueError("Invalid quaternion, please use a 9-axis IMU!")
+            q = np.asarray(quat, np.float64)
+            if not np.isfinite(q).all():
+                # corrupt attitude: keep the (finite) acc/gyr, drop the quat
+                # — a NaN would survive normalization and poison the device
+                # roll/pitch slerp
+                quat = None
+            else:
+                quat = _quat_mul_np(q, self._ext_rpy_quat)
+                if np.linalg.norm(quat) < 0.1:
+                    raise ValueError(
+                        "Invalid quaternion, please use a 9-axis IMU!"
+                    )
         self.imu_queue.append(ImuSample(s.stamp, acc, gyr, quat))
         if len(self.imu_queue) > 5000:
             self.imu_queue = self.imu_queue[-5000:]
@@ -170,8 +179,16 @@ class LiorfPipeline:
         """gpsHandler (mapOptmization.cpp:277-299): LLA -> local ENU."""
         if fix.status != 0:
             return
+        cov = np.asarray(fix.cov_xyz, np.float64)
+        if not (
+            np.isfinite([fix.lat, fix.lon, fix.alt]).all()
+            and np.isfinite(cov).all()
+        ):
+            # corrupt fix: NaN passes every downstream threshold comparison
+            # (NaN > thresh is False) and would land in the pose graph
+            return
         enu = self.gps_conv.forward(fix.lat, fix.lon, fix.alt)
-        self.gps_queue.append((fix.stamp, np.asarray(enu, np.float64), fix.cov_xyz))
+        self.gps_queue.append((fix.stamp, np.asarray(enu, np.float64), cov))
 
     # ------------------------------------------------------------------
     # helpers

@@ -47,7 +47,10 @@ def launch(
     env.pop("JAX_PLATFORMS", None)
     env["JAX_PLATFORM_NAME"] = "cpu"
 
+    import tempfile
+
     procs = []
+    files = []
     for pid in range(num_processes):
         cmd = [
             sys.executable, "-m", "liorf_tpu.dist.multihost",
@@ -62,21 +65,32 @@ def launch(
             "--inner-iters", str(inner_iters),
             "--repeats", str(repeats),
         ]
-        procs.append(
-            subprocess.Popen(
-                cmd, cwd=repo, env=env,
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            )
-        )
+        # temp files, not PIPEs: a worker blocked on a full pipe while its
+        # peers sit in a collective deadlocks the whole launch
+        fo = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        fe = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        files.append((fo, fe))
+        procs.append(subprocess.Popen(cmd, cwd=repo, env=env, stdout=fo, stderr=fe))
     outs = []
     try:
-        for p in procs:
-            out, err = p.communicate(timeout=timeout)
-            outs.append((p.returncode, out, err))
+        for p, (fo, fe) in zip(procs, files):
+            try:
+                rc = p.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    if q.poll() is None:
+                        q.kill()
+                raise
+            fo.seek(0)
+            fe.seek(0)
+            outs.append((rc, fo.read(), fe.read()))
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for fo, fe in files:
+            fo.close()
+            fe.close()
     for rc, out, err in outs:
         if rc != 0:
             raise RuntimeError(f"worker failed (rc={rc}):\n{err[-4000:]}")

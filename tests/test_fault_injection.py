@@ -177,3 +177,41 @@ def test_imu_spike(syn, cfg):
     # recovery: the last frames' incremental motion is sane again
     steps = np.linalg.norm(np.diff(poses[-3:, 3:6], axis=0), axis=1)
     assert (steps < 5.0).all(), f"no recovery after spike: steps {steps}"
+
+
+def test_nan_quaternion_9axis(syn, cfg):
+    """A finite-acc/gyr sample with a NaN 9-axis attitude must not reach
+    the device roll/pitch slerp (NaN survives normalization)."""
+    from dataclasses import replace
+
+    cfg9 = replace(cfg, imuType=1)
+    ident = np.array([1.0, 0.0, 0.0, 0.0])
+
+    def bad_quat(i, s):
+        q = np.full(4, np.nan) if i % 5 == 2 else ident
+        return ImuSample(s.stamp, s.acc, s.gyr, q)
+
+    pipe = _run(ResidentPipeline(cfg9), syn, 10, mutate_imu=bad_quat)
+    _assert_finite_and_tracks(pipe, syn)
+
+
+def test_nan_gps_fix(syn, cfg):
+    """NaN lat/lon or covariance passes every threshold comparison
+    (NaN > thresh is False), so corrupt fixes must be dropped at
+    ingestion before they reach the pose graph."""
+    from liorf_tpu.sensors.types import GpsFix
+
+    pipe = ResidentPipeline(cfg)
+    imu = syn.imu_stream()
+    ii = 0
+    for f in range(10):
+        scan = syn.scan(f)
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        pipe.push_gps(GpsFix(scan.stamp, np.nan, np.nan, np.nan))
+        pipe.push_gps(
+            GpsFix(scan.stamp, 47.0, 8.0, 400.0, cov_xyz=np.full(3, np.nan))
+        )
+        pipe.process_scan(scan)
+    _assert_finite_and_tracks(pipe, syn)

@@ -6,9 +6,13 @@ the reference is single-machine-only). Verifies the collective solve runs
 to completion and matches the single-device solver bit-for-nearly-bit.
 """
 
+import os
 import sys
 
-sys.path.insert(0, "scripts")
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+)
 
 from launch_multihost import launch  # noqa: E402
 

@@ -65,10 +65,11 @@ def test_shard_map_matches_single_device(n_dev):
 
 def test_inner_outer_matches_single_device():
     """Communication-avoiding inner-outer PCG (per-shard Schwarz inner
-    solves + flexible outer CG) reaches the same solution with ~6x fewer
-    global collectives (outer iters = pcg_iters / inner_iters)."""
+    solves + flexible outer CG) matches the 48-iteration plain solve with
+    only 12 outer iterations — i.e. 4x fewer global collective rounds,
+    the regime the multihost bench and docs advertise."""
     graph, gt, n = _circle_graph()
-    params = pg.SolveParams(gn_iters=4, pcg_iters=48, inner_iters=8)
+    params = pg.SolveParams(gn_iters=4, pcg_iters=12, inner_iters=8)
     ref = pg.solve(graph, free_from=0, params=pg.SolveParams(gn_iters=4, pcg_iters=48))
     mesh = make_mesh(8)
     out = solve_shard_map(graph, mesh, free_from=0, params=params)
