@@ -99,6 +99,12 @@ class SlamConfig:
 
     # --- TPU-native engine capacities (not in the reference) ---
     scan_capacity: int = 16384
+    # raw (pre-voxel-downsample) padded scan size; None = scan_capacity.
+    # Dense lidars (e.g. HDL-64's ~120k pts) need raw_capacity >= the
+    # filtered point count — a too-small pack cap PREFIX-truncates the
+    # scan to its lowest rings and silently wrecks registration accuracy —
+    # while scan_capacity keeps the post-downsample working set small.
+    raw_capacity: int | None = None
     map_capacity: int = 131072
     kf_cloud_capacity: int = 8192
     near_kf_capacity: int = 64
@@ -109,6 +115,10 @@ class SlamConfig:
     traj_capacity: int = 8192  # device-resident trajectory ring capacity
     gps_capacity: int = 256  # device-resident GPS factor ring capacity
     loop_capacity: int = 128  # device-resident loop-factor ring capacity
+
+    @property
+    def raw_cap(self) -> int:
+        return self.raw_capacity if self.raw_capacity is not None else self.scan_capacity
 
     @property
     def ext_rot(self) -> np.ndarray:
@@ -135,4 +145,13 @@ def load_config(path: str) -> SlamConfig:
     for k, v in params.items():
         if k in names:
             setattr(cfg, k, v)
+    if cfg.raw_capacity is None and "N_SCAN" in params:
+        # size the raw (pre-downsample) pack buffer for the sensor: a pack
+        # cap below the filtered point count PREFIX-truncates the scan to
+        # its lowest rings (silent accuracy loss on dense lidars)
+        pts = cfg.N_SCAN * cfg.Horizon_SCAN
+        pts = pts // max(1, cfg.point_filter_num)
+        if cfg.downsampleRate > 1:
+            pts = pts // cfg.downsampleRate
+        cfg.raw_capacity = max(cfg.scan_capacity, -(-pts // 4096) * 4096)
     return cfg

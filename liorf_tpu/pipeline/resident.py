@@ -740,7 +740,7 @@ class ResidentPipeline(LiorfPipeline):
             # fuse every per-frame input into ONE host buffer -> ONE
             # host->device transfer (the tunnel charges fixed latency per
             # array; see resident_step_packed)
-            S, W = cfg.scan_capacity, cfg.imu_window
+            S, W = cfg.raw_cap, cfg.imu_window
             # fresh buffer every frame: on CPU jnp.asarray aliases numpy
             # memory zero-copy, so reusing one buffer would race the async
             # execution of the previous frame

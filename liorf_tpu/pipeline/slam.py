@@ -233,7 +233,7 @@ class LiorfPipeline:
         if cfg.point_filter_num > 1:
             keep &= (np.arange(len(pts_in)) % cfg.point_filter_num) == 0
         idx = np.flatnonzero(keep)
-        cap = cfg.scan_capacity
+        cap = cfg.raw_cap
         n = min(len(idx), cap)
         idx = idx[:n]
         xyz = np.full((cap, 3), PAD_COORD, np.float32)
