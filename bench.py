@@ -115,6 +115,25 @@ def main():
     n_timed = n_frames - warmup
     sps = n_timed / elapsed
 
+    # second pass, synchronized per frame: true scan->pose latency (the
+    # throughput pass overlaps host packing with async device execution, so
+    # per-call walltime there is not latency). Compile cache is warm now.
+    # MUST run before the first device->host pull below: on the tunneled TPU
+    # the first pull costs ~100 s and permanently degrades every later
+    # dispatch to ~1 s (block_until_ready is not a pull and stays fast).
+    lat_pipe = ResidentPipeline(cfg)
+    ii = 0
+    lats = []
+    for f, scan in enumerate(scans):
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            lat_pipe.push_imu(imu[ii])
+            ii += 1
+        t0 = time.perf_counter()
+        lat_pipe.process_scan(scan)
+        lat_pipe.block()
+        lats.append(time.perf_counter() - t0)
+    lat = np.asarray(lats[warmup:]) * 1e3
+
     _, poses = pipe.trajectory_arrays()
     ate = ate_rmse(poses[:, 3:6], gt[: len(poses)])
 
@@ -129,6 +148,8 @@ def main():
                 "frames": n_timed,
                 "points_per_scan": int(np.mean([len(s.xyz) for s in scans])),
                 "loop_closure": bool(cfg.loopClosureEnableFlag),
+                "latency_ms_p50": round(float(np.percentile(lat, 50)), 3),
+                "latency_ms_p99": round(float(np.percentile(lat, 99)), 3),
                 "backend": str(jax.devices()[0]),
             }
         )
