@@ -86,6 +86,9 @@ def main():
 
     cfg = SlamConfig(
         scan_capacity=16384,
+        # full raw cloud capacity: 32x900=28.8k filtered points/scan must NOT
+        # be prefix-truncated to scan_capacity (silent accuracy loss)
+        raw_capacity=32768,
         map_capacity=131072,
         kf_cloud_capacity=8192,
         near_kf_capacity=32,

@@ -116,8 +116,15 @@ def cmd_run(args):
     elif cfg.savePCD:
         # reference parity: auto-export on shutdown when savePCD is set
         # (mapOptmization.cpp:442-450 invokes the save_map service with
-        # default resolution into savePCDDirectory)
-        save_map(pipe, os.path.expanduser(cfg.savePCDDirectory))
+        # default resolution into savePCDDirectory). The reference prepends
+        # $HOME to savePCDDirectory (:385) — stock YAMLs ship paths like
+        # "/Downloads/LOAM/" that mean "~/Downloads/LOAM/"; honor that,
+        # but leave paths that already point somewhere writable (absolute
+        # with an existing parent, e.g. our default /tmp/...) untouched.
+        dest = os.path.expanduser(cfg.savePCDDirectory)
+        if os.path.isabs(dest) and not os.path.isdir(os.path.dirname(dest.rstrip("/"))):
+            dest = os.path.join(os.path.expanduser("~"), dest.lstrip("/"))
+        save_map(pipe, dest)
     if args.checkpoint:
         save_checkpoint(pipe, os.path.join(args.out, "checkpoint.pkl"))
     if args.viz:

@@ -83,28 +83,24 @@ def scan_to_map_sharded(
 # ---------------------------------------------------------------------------
 def _detect_local(descs, keys, count, qdesc, qkey, *, axis, num_candidates,
                   exclude_recent, dist_thresh):
-    """Per-shard detectLoopClosureID + cross-shard winner reduction."""
+    """Per-shard detectLoopClosureID + cross-shard winner reduction.
+
+    The per-shard search is ``ops.scancontext.rank_candidates`` — the same
+    core as the single-device ``detect_loop`` — applied to this shard's
+    database slice with globally-indexed searchability."""
     Cl = keys.shape[0]
     base = jax.lax.axis_index(axis) * Cl
     gidx = base + jnp.arange(Cl, dtype=jnp.int32)
     searchable = gidx < (count - exclude_recent)
 
-    d2 = jnp.sum((keys - qkey[None, :]) ** 2, axis=-1)
-    d2 = jnp.where(searchable, d2, jnp.inf)
-    k = min(num_candidates, Cl)
-    _, cand = jax.lax.top_k(-d2, k)
-    ok = jnp.isfinite(d2[cand])
-
-    dists = sc._shifted_cosine_distances(qdesc, descs[cand])  # [k, 60]
-    best_shift = jnp.argmin(dists, axis=-1)
-    best = jnp.where(ok, jnp.min(dists, axis=-1), jnp.inf)
-    b = jnp.argmin(best)
-
+    best, local_idx, best_shift = sc.rank_candidates(
+        descs, keys, searchable, qdesc, qkey, num_candidates
+    )
     local = jnp.stack(
         [
-            best[b],
-            gidx[cand[b]].astype(jnp.float32),
-            best_shift[b].astype(jnp.float32),
+            best,
+            gidx[local_idx].astype(jnp.float32),
+            best_shift.astype(jnp.float32),
         ]
     )
     allb = jax.lax.all_gather(local, axis)  # [n, 3]

@@ -86,20 +86,30 @@ def get_lib():
 def pack_scan_into(
     xyz: np.ndarray, rel: np.ndarray, ring: np.ndarray,
     min_r2: float, max_r2: float, dsr: int, pfn: int,
-    xyz_out: np.ndarray, rts_out: np.ndarray, msk_out: np.ndarray,
+    xyz_out: np.ndarray, rts_out: np.ndarray, msk_out: np.ndarray | None = None,
 ) -> int:
     """One-pass range/ring/stride filter + pad, written straight into the
-    caller's f32 buffers (mask as 0.0/1.0). Returns the kept count, or -1
-    when the native lib is unavailable (callers fall back to numpy)."""
+    caller's f32 buffers. msk_out may be None — packed points are compact,
+    so callers can derive the mask from the kept count. Returns the TOTAL
+    count passing the filters (> cap means the pack was truncated; at most
+    cap points are written), or -1 when the native lib is unavailable or
+    the inputs are malformed (callers fall back to numpy, which raises
+    loudly on the same malformed inputs)."""
     lib = get_lib()
     if lib is None:
         return -1
     xyz = np.ascontiguousarray(xyz, np.float32)
     rel = np.ascontiguousarray(rel, np.float64)
+    # the C loop indexes rel[i]/ring[i] up to len(xyz): a shorter array would
+    # be a silent out-of-bounds read here where the numpy path IndexErrors
+    if xyz.ndim != 2 or xyz.shape[1] != 3 or len(rel) != len(xyz):
+        return -1
     fp = ctypes.POINTER(ctypes.c_float)
-    cap = len(msk_out)
+    cap = len(rts_out)
     ring_p = None
-    if dsr > 1 and ring is not None:
+    if dsr > 1:
+        if ring is None or len(ring) != len(xyz):
+            return -1  # numpy path raises on ring=None with downsampleRate>1
         ring = np.ascontiguousarray(ring, np.int32)
         ring_p = ring.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     return int(
@@ -108,7 +118,7 @@ def pack_scan_into(
             rel.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             ring_p, len(xyz), min_r2, max_r2, dsr, pfn, cap,
             xyz_out.ctypes.data_as(fp), rts_out.ctypes.data_as(fp),
-            msk_out.ctypes.data_as(fp),
+            None if msk_out is None else msk_out.ctypes.data_as(fp),
         )
     )
 

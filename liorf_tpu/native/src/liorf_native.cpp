@@ -73,23 +73,29 @@ int ln_pc2_extract(const uint8_t* data, int64_t n, int32_t point_step,
 // into the fused frame-input buffer slices (pipeline/resident.py).
 // Replaces the numpy two-pass filter (~0.9 ms -> ~0.1 ms per 28k-pt scan,
 // the host being the pipeline's critical path). Returns kept count.
+// Returns the TOTAL number of points passing the filters (which may exceed
+// cap — callers compare against cap to detect truncation); writes at most
+// cap packed points. msk_out may be NULL when the caller derives the mask
+// from the kept count (the packed layout is compact).
 int64_t ln_pack_scan(const float* xyz, const double* rel, const int32_t* ring,
                      int64_t n, float min_r2, float max_r2,
                      int32_t dsr, int32_t pfn, int64_t cap,
                      float* xyz_out, float* rts_out, float* msk_out) {
-    if (!xyz || !xyz_out || !rts_out || !msk_out) return -1;
-    int64_t k = 0;
-    for (int64_t i = 0; i < n && k < cap; ++i) {
+    if (!xyz || !xyz_out || !rts_out) return -1;
+    int64_t k = 0, tot = 0;
+    for (int64_t i = 0; i < n; ++i) {
         const float x = xyz[3 * i], y = xyz[3 * i + 1], z = xyz[3 * i + 2];
         const float d2 = x * x + y * y + z * z;
         if (!(d2 >= min_r2 && d2 <= max_r2)) continue;  // NaN/inf fail here
         if (dsr > 1 && ring && (ring[i] % dsr) != 0) continue;
         if (pfn > 1 && (i % pfn) != 0) continue;
+        ++tot;
+        if (k >= cap) continue;  // keep counting for truncation detection
         xyz_out[3 * k] = x;
         xyz_out[3 * k + 1] = y;
         xyz_out[3 * k + 2] = z;
         rts_out[k] = rel ? (float)rel[i] : 0.0f;
-        msk_out[k] = 1.0f;
+        if (msk_out) msk_out[k] = 1.0f;
         ++k;
     }
     for (int64_t j = k; j < cap; ++j) {  // PAD_COORD = 1e7 (core/pointcloud.py)
@@ -97,9 +103,9 @@ int64_t ln_pack_scan(const float* xyz, const double* rel, const int32_t* ring,
         xyz_out[3 * j + 1] = 1.0e7f;
         xyz_out[3 * j + 2] = 1.0e7f;
         rts_out[j] = 0.0f;
-        msk_out[j] = 0.0f;
+        if (msk_out) msk_out[j] = 0.0f;
     }
-    return k;
+    return tot;
 }
 
 // Extract a float64 column (for robosense absolute per-point stamps).

@@ -94,6 +94,34 @@ class SCDetection(NamedTuple):
     yaw: jax.Array  # [] rad yaw offset implied by the best shift
 
 
+def rank_candidates(
+    descriptors: jax.Array,  # [C, 20, 60] database slice (padded)
+    ring_keys: jax.Array,  # [C, 20]
+    searchable: jax.Array,  # [C] bool — which entries may be matched
+    query_desc: jax.Array,  # [20, 60]
+    query_key: jax.Array,  # [20]
+    num_candidates: int,
+):
+    """Core of detectLoopClosureID over one database slice: ring-key k-NN
+    prefilter, then shift-aligned SC distance over the survivors
+    (Scancontext.cpp:253-344). Returns (best_dist, best_local_index,
+    best_shift) — dist is +inf when nothing is searchable. Shared by the
+    single-device ``detect_loop`` and the keyframe-sharded search in
+    ``dist/sharded_frontend.py`` so the gating semantics cannot diverge."""
+    d2 = jnp.sum((ring_keys - query_key[None, :]) ** 2, axis=-1)
+    d2 = jnp.where(searchable, d2, jnp.inf)
+    k = min(num_candidates, ring_keys.shape[0])
+    _, cand_idx = jax.lax.top_k(-d2, k)
+    cand_ok = jnp.isfinite(d2[cand_idx])
+
+    dists = _shifted_cosine_distances(query_desc, descriptors[cand_idx])  # [k, 60]
+    best_shift = jnp.argmin(dists, axis=-1)
+    best_dist = jnp.where(cand_ok, jnp.min(dists, axis=-1), jnp.inf)
+
+    b = jnp.argmin(best_dist)
+    return best_dist[b], cand_idx[b], best_shift[b]
+
+
 @partial(jax.jit, static_argnames=("num_candidates",))
 def detect_loop(
     descriptors: jax.Array,  # [C, 20, 60] database (padded)
@@ -115,20 +143,10 @@ def detect_loop(
     idxs = jnp.arange(C, dtype=jnp.int32)
     searchable = idxs < (count - exclude_recent)
 
-    d2 = jnp.sum((ring_keys - query_key[None, :]) ** 2, axis=-1)
-    d2 = jnp.where(searchable, d2, jnp.inf)
-    _, cand_idx = jax.lax.top_k(-d2, num_candidates)
-    cand_ok = jnp.isfinite(d2[cand_idx])
-
-    cands = descriptors[cand_idx]  # [k, 20, 60]
-    dists = _shifted_cosine_distances(query_desc, cands)  # [k, 60]
-    best_shift = jnp.argmin(dists, axis=-1)
-    best_dist = jnp.min(dists, axis=-1)
-    best_dist = jnp.where(cand_ok, best_dist, jnp.inf)
-
-    b = jnp.argmin(best_dist)
-    dist = best_dist[b]
+    dist, best_idx, best_shift = rank_candidates(
+        descriptors, ring_keys, searchable, query_desc, query_key, num_candidates
+    )
     found = dist < dist_thresh
-    index = jnp.where(found, cand_idx[b], -1)
-    yaw = jnp.deg2rad(best_shift[b].astype(jnp.float32) * SECTOR_ANGLE)
+    index = jnp.where(found, best_idx, -1)
+    yaw = jnp.deg2rad(best_shift.astype(jnp.float32) * SECTOR_ANGLE)
     return SCDetection(index=index, distance=dist, yaw=yaw)

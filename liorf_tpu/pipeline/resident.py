@@ -749,19 +749,22 @@ class ResidentPipeline(LiorfPipeline):
             # available; numpy fallback otherwise)
             from .. import native
 
-            scratch_msk = np.empty(S, np.float32)
-            n_kept = native.pack_scan_into(
+            n_total = native.pack_scan_into(
                 scan.xyz, scan.rel_time, scan.ring,
                 cfg.lidarMinRange**2, cfg.lidarMaxRange**2,
                 cfg.downsampleRate, cfg.point_filter_num,
                 buf[: 3 * S].reshape(S, 3), buf[3 * S : 4 * S],
-                scratch_msk,
+                None,  # mask derived on device from the kept count
             )
-            if n_kept < 0:
+            if n_total < 0:
                 xyz, rts, msk = self._pack_scan(scan)
                 buf[: 3 * S] = xyz.ravel()
                 buf[3 * S : 4 * S] = rts
                 n_kept = int(msk.sum())
+            else:
+                n_kept = min(n_total, S)
+                if n_total > S:
+                    self._warn_truncated(n_total, S)
             buf[4 * S] = float(n_kept)
             o = 4 * S + 1
 
@@ -786,8 +789,10 @@ class ResidentPipeline(LiorfPipeline):
             put(float(do_loop), 1)
             # the layout lives in three places (frame_buf_size, this pack
             # sequence, _unpack_frame); a mismatch must fail loudly, not
-            # feed np.empty garbage to the device
-            assert o == buf.size, f"frame buffer layout drift: {o} != {buf.size}"
+            # feed np.empty garbage to the device (a bare assert would be
+            # compiled out under python -O)
+            if o != buf.size:
+                raise RuntimeError(f"frame buffer layout drift: {o} != {buf.size}")
             self.state = resident_step_packed(
                 self.state, jnp.asarray(buf), self.params, S, W
             )

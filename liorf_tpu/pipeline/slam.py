@@ -219,6 +219,22 @@ class LiorfPipeline:
                 dts[1:n] = np.diff(times[:n])
         return times.astype(np.float32), acc, gyr, dts, mask, n
 
+    def _warn_truncated(self, n_filtered: int, cap: int) -> None:
+        """Dense scans overflowing the raw pack buffer are PREFIX-truncated
+        to their lowest rings, which silently wrecks registration — make it
+        loud, once per pipeline (set `raw_capacity` to fix)."""
+        if getattr(self, "_truncation_warned", False):
+            return
+        self._truncation_warned = True
+        import logging
+
+        logging.getLogger("liorf_tpu").warning(
+            "scan has %d filtered points but raw_capacity=%d: truncating to "
+            "the first %d points (lowest rings). Set SlamConfig.raw_capacity "
+            ">= the filtered point count to keep the full cloud.",
+            n_filtered, cap, cap,
+        )
+
     def _pack_scan(self, scan: LidarScan):
         cfg = self.cfg
         pts_in = scan.xyz
@@ -235,6 +251,8 @@ class LiorfPipeline:
         idx = np.flatnonzero(keep)
         cap = cfg.raw_cap
         n = min(len(idx), cap)
+        if len(idx) > cap:
+            self._warn_truncated(len(idx), cap)
         idx = idx[:n]
         xyz = np.full((cap, 3), PAD_COORD, np.float32)
         rts = np.zeros(cap, np.float32)

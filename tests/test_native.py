@@ -96,3 +96,34 @@ def test_pack_scan_matches_numpy(lib, rng):
     np.testing.assert_array_equal(buf[: 3 * S].reshape(S, 3), xyz_ref)
     np.testing.assert_array_equal(buf[3 * S : 4 * S], rts_ref)
     np.testing.assert_array_equal(buf[4 * S : 5 * S], msk_ref.astype(np.float32))
+
+
+def test_pack_scan_truncation_and_null_mask(lib, rng):
+    """Overflowing the pack buffer returns the TOTAL passing count (> cap)
+    with exactly cap points written compactly; msk_out=None skips mask
+    writes; malformed inputs fall back (-1) instead of reading OOB."""
+    n = 5000
+    xyz = rng.normal(scale=20.0, size=(n, 3)).astype(np.float32)
+    rel = rng.random(n).astype(np.float64) * 0.1
+
+    cap = 512
+    xyz_out = np.empty((cap, 3), np.float32)
+    rts_out = np.empty(cap, np.float32)
+    tot = native.pack_scan_into(
+        xyz, rel, None, 1.0, 1.0e6, 1, 1, xyz_out, rts_out, None
+    )
+    n_pass = int(
+        np.sum(np.einsum("ij,ij->i", xyz, xyz) >= 1.0)
+    )
+    assert tot == n_pass > cap
+    assert np.isfinite(xyz_out).all() and (np.abs(xyz_out) < 1.0e6).all()
+
+    # length-mismatched rel must NOT be read out of bounds: falls back
+    assert native.pack_scan_into(
+        xyz, rel[: n // 2], None, 1.0, 1.0e6, 1, 1, xyz_out, rts_out, None
+    ) == -1
+    # ring=None with downsampleRate>1 diverged from numpy (which raises):
+    # now falls back so both paths fail loudly
+    assert native.pack_scan_into(
+        xyz, rel, None, 1.0, 1.0e6, 2, 1, xyz_out, rts_out, None
+    ) == -1
