@@ -62,7 +62,117 @@ def preintegrate(
     bias_gyr: jax.Array,  # [3]
     params: ImuParams,
 ) -> Preintegrated:
-    """Integrate a masked window of IMU samples into a Preintegrated NamedTuple."""
+    """Integrate a masked window of IMU samples (log-depth parallel form).
+
+    Preintegration is a monoid: two preintegrated segments A (earlier) and
+    B (later) compose as
+
+        dR = dR_A dR_B,  dv = dv_A + dR_A dv_B,
+        dp = dp_A + dv_A T_B + dR_A dp_B,  T = T_A + T_B,
+
+    with the first-order bias Jacobians and the covariance recursion
+    (e' = A e + n) composing associatively alongside. That turns the
+    K-step serial ``lax.scan`` into ``lax.associative_scan`` — log2(K)
+    rounds of batched 3x3/9x9 matmuls, the natural TPU formulation (the
+    sequential form ``preintegrate_sequential`` is kept as the test
+    oracle). Masked samples are the monoid identity."""
+    dtype = acc.dtype
+    K = acc.shape[0]
+    eye = jnp.eye(3, dtype=dtype)
+    sg2 = params.gyr_noise**2
+    sa2 = params.acc_noise**2
+    si2 = params.int_noise**2
+
+    a = acc - bias_acc
+    w = gyr - bias_gyr
+    dt = jnp.where(mask, dts, 0.0)
+    wdt = w * dt[:, None]
+    dR_inc = jax.vmap(se3.so3_exp)(wdt)  # [K, 3, 3]
+    Jr = jax.vmap(_so3_right_jacobian)(wdt)
+
+    # pass 1: accumulated rotation BEFORE each step (exclusive prefix)
+    prods = jax.lax.associative_scan(lambda x, y: x @ y, dR_inc)
+    pre_R = jnp.concatenate([eye[None], prods[:-1]], axis=0)  # [K, 3, 3]
+
+    # --- per-step (leaf) segments, local frame ---
+    dtc = dt[:, None]
+    dv_l = a * dtc
+    dp_l = 0.5 * a * dtc * dtc
+    dR_dbg_l = -Jr * dtc[..., None]
+    dv_dba_l = -eye[None] * dtc[..., None]
+    dv_dbg_l = jnp.zeros((K, 3, 3), dtype)
+    dp_dba_l = -0.5 * eye[None] * (dtc * dtc)[..., None]
+    dp_dbg_l = jnp.zeros((K, 3, 3), dtype)
+
+    # covariance leaves use the accumulated pre-step rotation (exactly the
+    # sequential A_i/B_i); masked steps are (A=I, Q=0)
+    Ra_hat = jnp.einsum("kij,kjl->kil", pre_R, jax.vmap(se3.hat)(a))  # [K,3,3]
+    A = jnp.zeros((K, 9, 9), dtype)
+    A = A.at[:, 0:3, 0:3].set(jnp.swapaxes(dR_inc, -1, -2))
+    A = A.at[:, 3:6, 0:3].set(-Ra_hat * dtc[..., None])
+    A = A.at[:, 3:6, 3:6].set(eye[None])
+    A = A.at[:, 6:9, 0:3].set(-0.5 * Ra_hat * (dtc * dtc)[..., None])
+    A = A.at[:, 6:9, 3:6].set(eye[None] * dtc[..., None])
+    A = A.at[:, 6:9, 6:9].set(eye[None])
+    B = jnp.zeros((K, 9, 6), dtype)
+    B = B.at[:, 0:3, 0:3].set(Jr * dtc[..., None])
+    B = B.at[:, 3:6, 3:6].set(pre_R * dtc[..., None])
+    B = B.at[:, 6:9, 3:6].set(0.5 * pre_R * (dtc * dtc)[..., None])
+    safe_dt = jnp.where(dt > 0, dt, 1.0)
+    noise = jnp.concatenate(
+        [
+            jnp.broadcast_to((sg2 / safe_dt)[:, None], (K, 3)),
+            jnp.broadcast_to((sa2 / safe_dt)[:, None], (K, 3)),
+        ],
+        axis=-1,
+    ).astype(dtype)
+    Q = jnp.einsum("kij,klj->kil", B * noise[:, None, :], B)
+    Q = Q.at[:, 6:9, 6:9].add(eye[None] * (si2 * dt)[:, None, None])
+
+    def compose(L, R):
+        (dR_a, dv_a, dp_a, T_a, dRbg_a, dvba_a, dvbg_a, dpba_a, dpbg_a, A_a, Q_a) = L
+        (dR_b, dv_b, dp_b, T_b, dRbg_b, dvba_b, dvbg_b, dpba_b, dpbg_b, A_b, Q_b) = R
+        Tb = T_b[..., None]
+        dR = dR_a @ dR_b
+        dv = dv_a + jnp.einsum("...ij,...j->...i", dR_a, dv_b)
+        dp = dp_a + dv_a * Tb + jnp.einsum("...ij,...j->...i", dR_a, dp_b)
+        hat_dv_b = jax.vmap(se3.hat)(dv_b) if dv_b.ndim == 2 else se3.hat(dv_b)
+        hat_dp_b = jax.vmap(se3.hat)(dp_b) if dp_b.ndim == 2 else se3.hat(dp_b)
+        dRbg = jnp.swapaxes(dR_b, -1, -2) @ dRbg_a + dRbg_b
+        dvba = dvba_a + dR_a @ dvba_b
+        dvbg = dvbg_a + dR_a @ dvbg_b - dR_a @ hat_dv_b @ dRbg_a
+        dpba = dpba_a + dvba_a * Tb[..., None] + dR_a @ dpba_b
+        dpbg = dpbg_a + dvbg_a * Tb[..., None] + dR_a @ dpbg_b - dR_a @ hat_dp_b @ dRbg_a
+        A_ = A_b @ A_a
+        Q_ = A_b @ Q_a @ jnp.swapaxes(A_b, -1, -2) + Q_b
+        return (dR, dv, dp, T_a + T_b, dRbg, dvba, dvbg, dpba, dpbg, A_, Q_)
+
+    leaves = (
+        dR_inc, dv_l, dp_l, dt,
+        dR_dbg_l, dv_dba_l, dv_dbg_l, dp_dba_l, dp_dbg_l, A, Q,
+    )
+    acc_all = jax.lax.associative_scan(compose, leaves)
+    (dR, dv, dp, T, dR_dbg, dv_dba, dv_dbg, dp_dba, dp_dbg, _, cov) = (
+        jax.tree_util.tree_map(lambda x: x[-1], acc_all)
+    )
+    return Preintegrated(
+        dR=dR, dv=dv, dp=dp, dt=T,
+        dR_dbg=dR_dbg, dv_dba=dv_dba, dv_dbg=dv_dbg, dp_dba=dp_dba, dp_dbg=dp_dbg,
+        cov=cov, bias_acc_lin=bias_acc, bias_gyr_lin=bias_gyr,
+    )
+
+
+def preintegrate_sequential(
+    acc: jax.Array,  # [K, 3]
+    gyr: jax.Array,  # [K, 3]
+    dts: jax.Array,  # [K] per-sample integration interval
+    mask: jax.Array,  # [K]
+    bias_acc: jax.Array,  # [3]
+    bias_gyr: jax.Array,  # [3]
+    params: ImuParams,
+) -> Preintegrated:
+    """Sequential (lax.scan) preintegration — the direct transcription of
+    the Forster recursions; kept as the oracle for the parallel form."""
     dtype = acc.dtype
     eye = jnp.eye(3, dtype=dtype)
     zero3 = jnp.zeros((3, 3), dtype=dtype)

@@ -198,3 +198,27 @@ def test_predict_poses_gravity_cancel():
     dts = jnp.full((n,), 0.01)
     Rs, ps = fusion.predict_poses(st, acc, gyr, dts, jnp.ones(n, bool))
     np.testing.assert_allclose(np.asarray(ps)[-1], [0.1, 0.0, 0.0], atol=1e-5)
+
+
+def test_parallel_preintegration_matches_sequential(rng):
+    """The associative-scan preintegration must reproduce the sequential
+    Forster recursion (deltas, bias Jacobians, covariance) on masked
+    windows of every shape."""
+    for K, n_valid in [(64, 64), (64, 37), (64, 1), (8, 5), (1, 1)]:
+        acc = rng.normal(0.0, 0.5, (K, 3)).astype(np.float32) + np.array(
+            [0.1, -0.2, 9.8], np.float32
+        )
+        gyr = rng.normal(0.0, 0.3, (K, 3)).astype(np.float32)
+        dts = rng.uniform(0.002, 0.01, K).astype(np.float32)
+        mask = np.arange(K) < n_valid
+        ba = np.array([0.02, -0.01, 0.03], np.float32)
+        bg = np.array([-0.004, 0.002, 0.001], np.float32)
+        p = ImuParams()
+        par = preintegration.preintegrate(acc, gyr, dts, mask, ba, bg, p)
+        seq = preintegration.preintegrate_sequential(acc, gyr, dts, mask, ba, bg, p)
+        for name in par._fields:
+            a, b = getattr(par, name), getattr(seq, name)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+                err_msg=f"{name} mismatch at K={K} n={n_valid}",
+            )
