@@ -152,11 +152,11 @@ def scan_to_map_impl(
     scan_norm_quarter = jnp.sqrt(jnp.sqrt(jnp.linalg.norm(scan_xyz, axis=-1) + 1e-12))
 
     def cond(state):
-        pose, P, degenerate, it, done = state
+        pose, P, degenerate, it, done, count = state
         return (it < params.max_iters) & ~done
 
     def body(state):
-        pose, P, degenerate, it, done = state
+        pose, P, degenerate, it, done, _ = state
         H, g, count = _build_system(
             pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params,
             axis_name,
@@ -186,7 +186,7 @@ def scan_to_map_impl(
             delta_trans < params.conv_trans_cm
         )
         done = converged | ~enough
-        return pose, P, degenerate, it + 1, done
+        return pose, P, degenerate, it + 1, done, count
 
     init = (
         init_pose.astype(jnp.float32),
@@ -194,13 +194,14 @@ def scan_to_map_impl(
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
     )
-    pose, P, degenerate, iters, done = jax.lax.while_loop(cond, body, init)
+    pose, P, degenerate, iters, done, count = jax.lax.while_loop(cond, body, init)
 
-    # Final match count at the solution (for diagnostics / keyframe gating).
-    _, _, count = _build_system(
-        pose, scan_xyz, scan_mask, scan_norm_quarter, grid, params, axis_name
-    )
+    # The match count is the last linearization's (pre-final-update) — the
+    # reference's diagnostics/gating counts come from the same place
+    # (laserCloudOriSurfVec at the last iteration); recomputing it at the
+    # solved pose would cost a whole extra correspondence search.
     return ScanMatchResult(
         pose=pose,
         degenerate=degenerate,

@@ -668,7 +668,10 @@ class ResidentPipeline(LiorfPipeline):
     Same input API as LiorfPipeline; per-frame results stay on device.
     ``process_scan`` returns a stamp-only FrameResult; call
     ``trajectory_arrays()`` / ``save_tum()`` / ``sync_store()`` after the
-    run (each triggers the one end-of-run pull)."""
+    run (each triggers the one end-of-run pull). ``imu_rate_poses`` (the
+    live TransformFusion stream) needs the fusion filter on the host, so
+    mid-run it returns empty here — use ``LiorfPipeline`` when a consumer
+    needs live IMU-rate odometry; after ``sync()`` it works here too."""
 
     def __init__(self, cfg):
         super().__init__(cfg)
