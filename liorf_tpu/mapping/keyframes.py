@@ -126,22 +126,42 @@ def assemble_local_map(
     map_cap: int,
     leaf: float,
     cell_size: float,
+    density: float = 2.0,
 ) -> knn.SpatialHashGrid:
     """Select nearby keyframes, fuse their world-frame clouds, voxel-filter,
     and build the correspondence grid.
 
     Mirrors ``extractNearby``/``extractCloud`` (mapOptmization.cpp:975-1058):
-    radius search over keyframe positions + all keyframes from the last
-    `recent_seconds`, fused and downsampled at `leaf`.
+    radius search over keyframe positions, *density-filtered* to one
+    keyframe per ``density``-sized position voxel (the reference's
+    ``surroundingKeyframeDensity`` downsample of the selected poses,
+    :991-997 — without it a slow revisit fills the whole keyframe budget
+    with redundant views), plus all keyframes from the last
+    `recent_seconds` (appended after the density filter, :999-1007), fused
+    and downsampled at `leaf`.
     """
     K = kf_poses.shape[0]
     idx = jnp.arange(K, dtype=jnp.int32)
     valid = idx < kf_count
     pos = kf_poses[:, 3:6]
     d2 = jnp.sum((pos - center) ** 2, axis=-1)
-    near = valid & (
-        (d2 <= radius * radius) | ((now - kf_times) < recent_seconds)
+    near_r = valid & (d2 <= radius * radius)
+    recent = valid & ((now - kf_times) < recent_seconds)
+
+    # density filter: keep the keyframe closest to the current position per
+    # density cell (exact two-key cell identity: x | packed yz, 15 bits/axis)
+    sentinel = jnp.int32(2**31 - 1)
+    cell = jnp.floor(pos / density).astype(jnp.int32) + (1 << 14)
+    cell = jnp.clip(cell, 0, (1 << 15) - 1)
+    kx = jnp.where(near_r, cell[:, 0], sentinel)
+    kyz = jnp.where(near_r, (cell[:, 1] << 15) | cell[:, 2], sentinel)
+    order = jnp.lexsort((d2, kyz, kx))  # group by cell, ties by distance
+    kx_s, kyz_s = kx[order], kyz[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), (kx_s[1:] != kx_s[:-1]) | (kyz_s[1:] != kyz_s[:-1])]
     )
+    rep = jnp.zeros((K,), bool).at[order].set(first & near_r[order])
+    near = rep | recent
 
     # take up to near_cap selected keyframes, preferring the closest
     order_key = jnp.where(near, d2, jnp.inf)

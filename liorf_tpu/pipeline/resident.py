@@ -55,6 +55,7 @@ class ResidentParams(NamedTuple):
     # local map assembly
     radius: float = 50.0
     recent_seconds: float = 10.0
+    kf_density: float = 2.0
     near_cap: int = 64
     map_cap: int = 131072
     map_leaf: float = 0.5
@@ -405,6 +406,7 @@ def _insert_keyframe(state: ResidentState, params: ResidentParams, pose, now,
         radius=params.radius, recent_seconds=params.recent_seconds,
         near_cap=params.near_cap, map_cap=params.map_cap,
         leaf=params.map_leaf, cell_size=params.cell_size,
+        density=params.kf_density,
     )
     return mid._replace(
         kf_poses=solved_poses, last_kf_pose=new_pose, grid=grid
@@ -623,6 +625,7 @@ def _bootstrap_impl(
         radius=params.radius, recent_seconds=params.recent_seconds,
         near_cap=params.near_cap, map_cap=params.map_cap,
         leaf=params.map_leaf, cell_size=params.cell_size,
+        density=params.kf_density,
     )
 
     entry = jnp.concatenate(
@@ -680,6 +683,7 @@ class ResidentPipeline(LiorfPipeline):
             frame=self.frame_params,
             graph_window=cfg.graph_window,
             radius=cfg.surroundingKeyframeSearchRadius,
+            kf_density=cfg.surroundingKeyframeDensity,
             near_cap=cfg.near_kf_capacity,
             map_cap=cfg.map_capacity,
             map_leaf=cfg.surroundingKeyframeMapLeafSize,

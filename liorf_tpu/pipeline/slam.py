@@ -541,6 +541,7 @@ class LiorfPipeline:
             map_cap=cfg.map_capacity,
             leaf=cfg.surroundingKeyframeMapLeafSize,
             cell_size=cfg.grid_cell_size,
+            density=cfg.surroundingKeyframeDensity,
         )
 
     # ------------------------------------------------------------------
