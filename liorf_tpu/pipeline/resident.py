@@ -699,6 +699,100 @@ class ResidentPipeline(LiorfPipeline):
             loop_fitness_thresh=cfg.historyKeyframeFitnessScore,
         )
         self._synced = False
+        # earliest frame index at which any device ring could be full
+        # (keyframes/gps/loops advance at most once per frame, the
+        # trajectory exactly once) — until then no capacity check runs,
+        # so short sessions never pull mid-run
+        self._grow_check_at = min(
+            cfg.kf_capacity, cfg.traj_capacity, cfg.gps_capacity,
+            cfg.loop_capacity,
+        ) - 2
+
+    # -- unbounded sessions: device-ring growth -------------------------
+    def _ensure_capacity(self):
+        """Grow any device ring nearing capacity (the reference's graph and
+        keyframe stores grow unboundedly; fixed-shape rings must double).
+
+        The count check is ONE tiny device->host pull — on the tunneled
+        TPU the first such pull costs 30-400 s and degrades later
+        dispatches to ~0.8 ms, so it is gated by the exact host-side bound
+        above and sized so the *next* check is as far away as the rings
+        allow. Size `kf_capacity` generously to avoid mid-run checks
+        entirely. The padding itself is a pure device op; the next frame
+        retraces for the new shapes (one compile)."""
+        st = self.state
+        counts = np.asarray(
+            jnp.stack([st.kf_count, st.traj_count, st.g_count, st.l_count])
+        )
+        kf_n, traj_n, g_n, l_n = (int(x) for x in counts)
+        K, T = st.kf_poses.shape[0], st.traj.shape[0]
+        G, L = st.g_i.shape[0], st.l_i.shape[0]
+        margin = 2
+        if (
+            kf_n >= K - margin or traj_n >= T - margin
+            or g_n >= G - margin or l_n >= L - margin
+        ):
+            self._grow_rings(
+                kf_n >= K - margin, traj_n >= T - margin,
+                g_n >= G - margin, l_n >= L - margin,
+            )
+            st = self.state
+            K, T = st.kf_poses.shape[0], st.traj.shape[0]
+            G, L = st.g_i.shape[0], st.l_i.shape[0]
+        head = min(K - kf_n, T - traj_n, G - g_n, L - l_n) - margin
+        self._grow_check_at = self.frame_idx + max(head, 1)
+
+    def _grow_rings(self, grow_kf, grow_traj, grow_gps, grow_loop):
+        st = self.state
+        eye = np.eye(3, dtype=np.float32)
+
+        def pad(a, fill=0.0):
+            n = a.shape[0]
+            ext_shape = (n,) + a.shape[1:]
+            ext = jnp.full(ext_shape, fill, a.dtype)
+            return jnp.concatenate([a, ext], axis=0)
+
+        def pad_eye(a):
+            n = a.shape[0]
+            return jnp.concatenate(
+                [a, jnp.broadcast_to(eye, (n, 3, 3))], axis=0
+            )
+
+        upd = {}
+        if grow_kf:
+            upd.update(
+                kf_poses=pad(st.kf_poses),
+                kf_times=pad(st.kf_times),
+                kf_clouds=pad(st.kf_clouds, PAD_COORD),
+                kf_masks=pad(st.kf_masks, False),
+                sc_descs=pad(st.sc_descs),
+                sc_keys=pad(st.sc_keys),
+                e_Rm=pad_eye(st.e_Rm),
+                e_tm=pad(st.e_tm),
+                kf_has_loop=pad(st.kf_has_loop, False),
+            )
+        if grow_traj:
+            upd.update(traj=pad(st.traj))
+        if grow_gps:
+            upd.update(
+                g_i=pad(st.g_i, 0), g_t=pad(st.g_t), g_sqrt=pad(st.g_sqrt, 1.0)
+            )
+        if grow_loop:
+            upd.update(
+                l_i=pad(st.l_i, 0), l_j=pad(st.l_j, 0), l_Rm=pad_eye(st.l_Rm),
+                l_tm=pad(st.l_tm), l_sqrt=pad(st.l_sqrt, 1.0),
+                l_cauchy=pad(st.l_cauchy),
+            )
+        self.state = st._replace(**upd)
+        import logging
+
+        logging.getLogger("liorf_tpu").warning(
+            "device rings grown (kf=%s traj=%s gps=%s loop=%s) -> "
+            "kf_capacity=%d; the next frame recompiles for the new shapes. "
+            "Set capacities in SlamConfig upfront to avoid this.",
+            grow_kf, grow_traj, grow_gps, grow_loop,
+            self.state.kf_poses.shape[0],
+        )
 
     # -- per-frame ----------------------------------------------------
     def process_scan(self, scan) -> FrameResult:
@@ -714,6 +808,8 @@ class ResidentPipeline(LiorfPipeline):
                 stamp=t0, pose=None, degenerate=False,
                 is_keyframe=False, num_matched=0,
             )
+        if self.state is not None and self.frame_idx >= self._grow_check_at:
+            self._ensure_capacity()
         base = self._time_base(t0)
         dk_t, _, dk_gyr, _, dk_m, _ = self._imu_window(
             t0 - 0.01, t1 + 0.01, cfg.imu_window

@@ -156,3 +156,28 @@ def test_resident_checkpoint_resume(syn, small_cfg, tmp_path):
     assert len(t_res) == n
     np.testing.assert_allclose(t_res, t_full, atol=1e-9)
     np.testing.assert_allclose(p_res, p_full, atol=1e-5)
+
+
+def test_resident_ring_growth():
+    """Sessions longer than the preallocated rings must grow them in place:
+    run with tiny capacities past the keyframe/trajectory limits, assert
+    the rings doubled and tracking stayed continuous."""
+    syn = SyntheticDataset(
+        SyntheticConfig(n_frames=24, n_rings=16, points_per_ring=360)
+    )
+    cfg = SlamConfig(
+        scan_capacity=4096, map_capacity=32768, kf_cloud_capacity=2048,
+        near_kf_capacity=16, imu_window=64, point_filter_num=1,
+        downsampleRate=1, mappingSurfLeafSize=0.4,
+        surroundingKeyframeMapLeafSize=0.4, loopClosureEnableFlag=False,
+        kf_capacity=8, traj_capacity=16, gps_capacity=8, loop_capacity=8,
+    )
+    pipe = _run(ResidentPipeline, syn, cfg, 24)
+    assert pipe.state.traj.shape[0] > 16  # trajectory ring grew
+    times, poses = pipe.trajectory_arrays()
+    assert len(poses) == 24  # nothing dropped or overwritten
+    assert np.isfinite(poses).all()
+    n_kf = int(np.asarray(pipe.state.kf_count))
+    assert pipe.state.kf_poses.shape[0] >= n_kf + 2
+    # monotone forward motion preserved across the growth recompiles
+    assert poses[-1, 3] > poses[0, 3]
