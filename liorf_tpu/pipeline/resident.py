@@ -48,10 +48,15 @@ from .slam import FrameResult, LiorfPipeline
 
 class ResidentParams(NamedTuple):
     frame: FrameParams
-    # graph solve (static sizes/iterations)
+    # graph solve (static sizes/iterations); the full relaxation (loop/GPS
+    # landed) needs the deep PCG budget, the per-keyframe trailing-window
+    # step (16 free nodes) converges in far fewer iterations — splitting
+    # the budgets cuts the common keyframe-frame cost ~4x
     graph_window: int
     gn_iters: int = 4
     pcg_iters: int = 64
+    window_gn_iters: int = 2
+    window_pcg_iters: int = 16
     # local map assembly
     radius: float = 50.0
     recent_seconds: float = 10.0
@@ -170,13 +175,23 @@ def _solve_graph_resident(state: ResidentState, params: ResidentParams, full):
         prior_t=state.prior_t,
         prior_sqrt_info=jnp.full((6,), 1.0e2, jnp.float32),
     )
-    free_from = jnp.where(
-        full, 0, jnp.maximum(0, count - params.graph_window)
-    ).astype(jnp.int32)
-    solved = pg.solve(
+    window_from = jnp.maximum(0, count - params.graph_window).astype(jnp.int32)
+    solved = jax.lax.cond(
+        full,
+        lambda g: pg.solve(
+            g, free_from=jnp.asarray(0, jnp.int32),
+            params=pg.SolveParams(
+                gn_iters=params.gn_iters, pcg_iters=params.pcg_iters
+            ),
+        ),
+        lambda g: pg.solve(
+            g, free_from=window_from,
+            params=pg.SolveParams(
+                gn_iters=params.window_gn_iters,
+                pcg_iters=params.window_pcg_iters,
+            ),
+        ),
         graph,
-        free_from=free_from,
-        params=pg.SolveParams(gn_iters=params.gn_iters, pcg_iters=params.pcg_iters),
     )
     rpy = se3.rot_to_euler(solved.Rs)
     new_poses = jnp.concatenate([rpy, solved.ts], axis=-1).astype(jnp.float32)
