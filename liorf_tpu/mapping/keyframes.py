@@ -26,7 +26,30 @@ from ..core.voxel import voxel_downsample_xyz
 from ..ops import knn
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("cap",))
+def subsample_to_cap(xyz: jax.Array, mask: jax.Array, cap: int):
+    """Reduce a (valid-prefix) masked cloud to `cap` slots WITHOUT spatial
+    bias: the voxel filter emits points in cell-sort order, so a plain
+    prefix `[:cap]` would systematically drop one side of the scan when it
+    overflows. Instead take an even stride over the n valid points (a fair
+    spatial subsample given the sort interleaves cells). jit-traceable."""
+    n = jnp.sum(mask.astype(jnp.int32))
+    ar = jnp.arange(cap, dtype=jnp.int32)
+    idx = jnp.where(n > cap, (ar * n) // cap, ar)
+    return xyz[idx], mask[idx]
+
+
+def subsample_to_cap_np(xyz, mask, cap: int):
+    """NumPy twin of :func:`subsample_to_cap` for the host keyframe store."""
+    import numpy as _np
+
+    n = int(_np.sum(mask))
+    ar = _np.arange(cap)
+    idx = _np.where(n > cap, (ar * n) // cap, ar)
+    idx = _np.minimum(idx, len(mask) - 1)
+    return xyz[idx], mask[idx]
+
+
 def _set_row(arr: jax.Array, i, row: jax.Array) -> jax.Array:
     return arr.at[i].set(row)
 
@@ -65,10 +88,16 @@ class KeyframeStore:
         i = self.count
         self.poses[i] = np.asarray(pose_rpyxyz, np.float32)
         self.times[i] = time
+        cloud_xyz = np.asarray(cloud_xyz, np.float32)
+        cloud_mask = np.asarray(cloud_mask, bool)
+        if len(cloud_xyz) >= self.cloud_cap:
+            cloud_xyz, cloud_mask = subsample_to_cap_np(
+                cloud_xyz, cloud_mask, self.cloud_cap
+            )
         n = min(len(cloud_xyz), self.cloud_cap)
-        self.clouds[i, :n] = np.asarray(cloud_xyz[:n], np.float32)
+        self.clouds[i, :n] = cloud_xyz[:n]
         self.clouds[i, n:] = PAD_COORD
-        self.cloud_masks[i, :n] = np.asarray(cloud_mask[:n], bool)
+        self.cloud_masks[i, :n] = cloud_mask[:n]
         self.cloud_masks[i, n:] = False
         self.sc_descs[i] = np.asarray(sc_desc, np.float32)
         self.sc_keys[i] = np.asarray(sc_key, np.float32)

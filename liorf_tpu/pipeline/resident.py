@@ -38,7 +38,7 @@ from ..graph import marginal
 from ..graph import pose_graph as pg
 from ..imu import fusion as imu_fusion
 from ..imu import preintegration as preint
-from ..mapping.keyframes import assemble_local_map
+from ..mapping.keyframes import assemble_local_map, subsample_to_cap
 from ..ops import knn, scancontext
 from ..ops.deskew import deskew_scan, integrate_gyro
 from ..ops.scan_match import scan_to_map
@@ -333,8 +333,9 @@ def _insert_keyframe(state: ResidentState, params: ResidentParams, pose, now,
 
     kf_poses = state.kf_poses.at[k].set(pose)
     kf_times = state.kf_times.at[k].set(now)
-    kf_clouds = state.kf_clouds.at[k].set(ds_xyz[:C])
-    kf_masks = state.kf_masks.at[k].set(ds_mask[:C])
+    kfc_xyz, kfc_m = subsample_to_cap(ds_xyz, ds_mask, C)
+    kf_clouds = state.kf_clouds.at[k].set(kfc_xyz)
+    kf_masks = state.kf_masks.at[k].set(kfc_m)
     sc_descs = state.sc_descs.at[k].set(desc)
     sc_keys = state.sc_keys.at[k].set(key)
 
@@ -629,8 +630,9 @@ def _bootstrap_impl(
 
     kf_poses = jnp.zeros((K, 6), jnp.float32).at[0].set(init_pose)
     kf_times = jnp.zeros((K,), jnp.float32).at[0].set(scan_start)
-    kf_clouds = jnp.full((K, C, 3), PAD_COORD, jnp.float32).at[0].set(ds_xyz[:C])
-    kf_masks = jnp.zeros((K, C), bool).at[0].set(ds_mask[:C])
+    kfc_xyz, kfc_m = subsample_to_cap(ds_xyz, ds_mask, C)
+    kf_clouds = jnp.full((K, C, 3), PAD_COORD, jnp.float32).at[0].set(kfc_xyz)
+    kf_masks = jnp.zeros((K, C), bool).at[0].set(kfc_m)
     sc_descs = jnp.zeros((K, 20, 60), jnp.float32).at[0].set(desc)
     sc_keys = jnp.zeros((K, 20), jnp.float32).at[0].set(key)
 
