@@ -116,13 +116,14 @@ def cmd_run(args):
     elif cfg.savePCD:
         # reference parity: auto-export on shutdown when savePCD is set
         # (mapOptmization.cpp:442-450 invokes the save_map service with
-        # default resolution into savePCDDirectory). The reference prepends
-        # $HOME to savePCDDirectory (:385) — stock YAMLs ship paths like
-        # "/Downloads/LOAM/" that mean "~/Downloads/LOAM/"; honor that,
-        # but leave paths that already point somewhere writable (absolute
-        # with an existing parent, e.g. our default /tmp/...) untouched.
+        # default resolution into savePCDDirectory). Honor the configured
+        # path whenever it is creatable; only if creating it fails fall
+        # back to the reference's $HOME-prepend semantics (:385 — stock
+        # YAMLs ship "/Downloads/LOAM/" meaning "~/Downloads/LOAM/").
         dest = os.path.expanduser(cfg.savePCDDirectory)
-        if os.path.isabs(dest) and not os.path.isdir(os.path.dirname(dest.rstrip("/"))):
+        try:
+            os.makedirs(dest, exist_ok=True)
+        except OSError:
             dest = os.path.join(os.path.expanduser("~"), dest.lstrip("/"))
         save_map(pipe, dest)
     if args.checkpoint:

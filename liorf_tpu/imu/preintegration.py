@@ -210,7 +210,10 @@ def preintegrate_sequential(
             [jnp.full((3,), sg2 / safe_dt), jnp.full((3,), sa2 / safe_dt)]
         ).astype(dtype)
         cov_new = A @ cov @ A.T + (B * noise[None, :]) @ B.T
-        cov_new = cov_new.at[6:9, 6:9].add(eye * si2 * safe_dt)
+        # si2 * dt (NOT safe_dt): a valid sample with dt == 0 (duplicate
+        # IMU timestamps happen in real bags) integrates nothing and must
+        # inject no noise — keeps exact parity with the parallel form
+        cov_new = cov_new.at[6:9, 6:9].add(eye * si2 * dt)
 
         # bias Jacobians (Forster eqs. around (70))
         dp_dba_new = dp_dba + dv_dba * dt - 0.5 * dR * dt * dt

@@ -50,6 +50,7 @@ def subsample_to_cap_np(xyz, mask, cap: int):
     return xyz[idx], mask[idx]
 
 
+@jax.jit
 def _set_row(arr: jax.Array, i, row: jax.Array) -> jax.Array:
     return arr.at[i].set(row)
 

@@ -716,48 +716,53 @@ class ResidentPipeline(LiorfPipeline):
             loop_fitness_thresh=cfg.historyKeyframeFitnessScore,
         )
         self._synced = False
-        # earliest frame index at which any device ring could be full
-        # (keyframes/gps/loops advance at most once per frame, the
-        # trajectory exactly once) — until then no capacity check runs,
-        # so short sessions never pull mid-run
-        self._grow_check_at = min(
-            cfg.kf_capacity, cfg.traj_capacity, cfg.gps_capacity,
-            cfg.loop_capacity,
-        ) - 2
+        # exact host-side upper bounds on the device ring counts, so short
+        # sessions never pull mid-run: the trajectory advances exactly once
+        # per processed frame (known precisely), keyframes at most once per
+        # frame, GPS factors at most once per gps-candidate frame, loop
+        # factors at most once per do_loop frame. Each (count, at) pair is
+        # the last known exact count and the marker it was taken at.
+        self._kf_known = (0, 0)  # (count, frame_idx)
+        self._g_known = (0, 0)  # (count, gps feeds)
+        self._l_known = (0, 0)  # (count, loop flags)
+        self._gps_feeds = 0
+        self._loop_flags = 0
 
     # -- unbounded sessions: device-ring growth -------------------------
-    def _ensure_capacity(self):
-        """Grow any device ring nearing capacity (the reference's graph and
-        keyframe stores grow unboundedly; fixed-shape rings must double).
+    def _maybe_grow_rings(self):
+        """Grow any device ring whose host-side count bound nears capacity
+        (the reference's graph and keyframe stores grow unboundedly;
+        fixed-shape rings must double).
 
-        The count check is ONE tiny device->host pull — on the tunneled
-        TPU the first such pull costs 30-400 s and degrades later
-        dispatches to ~0.8 ms, so it is gated by the exact host-side bound
-        above and sized so the *next* check is as far away as the rings
-        allow. Size `kf_capacity` generously to avoid mid-run checks
-        entirely. The padding itself is a pure device op; the next frame
-        retraces for the new shapes (one compile)."""
+        The trajectory ring grows pull-free (its count is exactly the
+        processed frame count). For the other rings a count check is ONE
+        tiny device->host pull — on the tunneled TPU the first such pull
+        costs 30-400 s and degrades later dispatches to ~0.8 ms, so it
+        only runs when the exact upper bound (kf <= frames, gps <= gps
+        feeds, loops <= loop-cadence frames) says overflow is possible.
+        Size capacities generously to avoid mid-run checks entirely. The
+        padding itself is a pure device op; the next frame retraces for
+        the new shapes (one compile)."""
         st = self.state
-        counts = np.asarray(
-            jnp.stack([st.kf_count, st.traj_count, st.g_count, st.l_count])
-        )
-        kf_n, traj_n, g_n, l_n = (int(x) for x in counts)
         K, T = st.kf_poses.shape[0], st.traj.shape[0]
         G, L = st.g_i.shape[0], st.l_i.shape[0]
-        margin = 2
-        if (
-            kf_n >= K - margin or traj_n >= T - margin
-            or g_n >= G - margin or l_n >= L - margin
-        ):
-            self._grow_rings(
-                kf_n >= K - margin, traj_n >= T - margin,
-                g_n >= G - margin, l_n >= L - margin,
-            )
+        m = 2
+        if self.frame_idx >= T - m:  # exact, no pull needed
+            self._grow_rings(False, True, False, False)
+        kf_bound = self._kf_known[0] + (self.frame_idx - self._kf_known[1])
+        g_bound = self._g_known[0] + (self._gps_feeds - self._g_known[1])
+        l_bound = self._l_known[0] + (self._loop_flags - self._l_known[1])
+        if kf_bound >= K - m or g_bound >= G - m or l_bound >= L - m:
             st = self.state
-            K, T = st.kf_poses.shape[0], st.traj.shape[0]
-            G, L = st.g_i.shape[0], st.l_i.shape[0]
-        head = min(K - kf_n, T - traj_n, G - g_n, L - l_n) - margin
-        self._grow_check_at = self.frame_idx + max(head, 1)
+            counts = np.asarray(jnp.stack([st.kf_count, st.g_count, st.l_count]))
+            kf_n, g_n, l_n = (int(x) for x in counts)
+            self._kf_known = (kf_n, self.frame_idx)
+            self._g_known = (g_n, self._gps_feeds)
+            self._l_known = (l_n, self._loop_flags)
+            if kf_n >= K - m or g_n >= G - m or l_n >= L - m:
+                self._grow_rings(
+                    kf_n >= K - m, False, g_n >= G - m, l_n >= L - m
+                )
 
     def _grow_rings(self, grow_kf, grow_traj, grow_gps, grow_loop):
         st = self.state
@@ -825,8 +830,8 @@ class ResidentPipeline(LiorfPipeline):
                 stamp=t0, pose=None, degenerate=False,
                 is_keyframe=False, num_matched=0,
             )
-        if self.state is not None and self.frame_idx >= self._grow_check_at:
-            self._ensure_capacity()
+        if self.state is not None:
+            self._maybe_grow_rings()
         base = self._time_base(t0)
         dk_t, _, dk_gyr, _, dk_m, _ = self._imu_window(
             t0 - 0.01, t1 + 0.01, cfg.imu_window
@@ -857,6 +862,9 @@ class ResidentPipeline(LiorfPipeline):
                 self.cfg.loopClosureEnableFlag
                 and self.frame_idx % self.loop_every_frames == 0
             )
+            # exact host-side ring-count bounds (see _maybe_grow_rings)
+            self._gps_feeds += int(gps_has)
+            self._loop_flags += int(do_loop)
             # fuse every per-frame input into ONE host buffer -> ONE
             # host->device transfer (the tunnel charges fixed latency per
             # array; see resident_step_packed)

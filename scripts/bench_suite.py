@@ -128,20 +128,28 @@ def main() -> int:
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     )
-    r = subprocess.run(
-        [sys.executable, os.path.join(here, "bench_scaling.py")],
-        capture_output=True, text=True, timeout=3600, env=env,
-    )
-    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
-    if line:
-        d = json.loads(line[-1])
-        row = {
-            "config": "distributed_pose_graph",
-            "weak_scaling_efficiency_8dev": d.get("value"),
-            "backend": d.get("backend"),
-        }
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "bench_scaling.py")],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if line:
+            d = json.loads(line[-1])
+            row = {
+                "config": "distributed_pose_graph",
+                "weak_scaling_efficiency_8dev": d.get("value"),
+                "backend": d.get("backend"),
+            }
+        else:
+            row = {
+                "config": "distributed_pose_graph",
+                "error": f"exit {r.returncode}: {r.stderr[-400:]}",
+            }
+    except subprocess.TimeoutExpired:
+        row = {"config": "distributed_pose_graph", "error": "timeout"}
+    rows.append(row)
+    print(json.dumps(row), flush=True)
 
     ok = [r for r in rows if "ate_rmse_m" in r]
     print(

@@ -210,6 +210,7 @@ def test_parallel_preintegration_matches_sequential(rng):
         )
         gyr = rng.normal(0.0, 0.3, (K, 3)).astype(np.float32)
         dts = rng.uniform(0.002, 0.01, K).astype(np.float32)
+        dts[0] = 0.0  # valid dt=0 sample (duplicate IMU timestamps in bags)
         mask = np.arange(K) < n_valid
         ba = np.array([0.02, -0.01, 0.03], np.float32)
         bg = np.array([-0.004, 0.002, 0.001], np.float32)
