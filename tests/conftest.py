@@ -42,3 +42,20 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _reclaim_jit_mmaps():
+    """Release compiled-executable caches after every test module.
+
+    Each large XLA:CPU executable holds thousands of mmap'd JIT code
+    regions (one per thunk). A single pytest process accumulating the
+    pipeline programs of every module crosses the kernel's
+    vm.max_map_count limit (65530 by default) mid-suite, and the next
+    LLVM compile segfaults on a failed mmap. clear_caches() unmaps them
+    all; the persistent compilation cache makes re-loads cheap."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
