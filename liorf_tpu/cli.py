@@ -116,15 +116,15 @@ def cmd_run(args):
     elif cfg.savePCD:
         # reference parity: auto-export on shutdown when savePCD is set
         # (mapOptmization.cpp:442-450 invokes the save_map service with
-        # default resolution into savePCDDirectory). Honor the configured
-        # path whenever it is creatable; only if creating it fails fall
-        # back to the reference's $HOME-prepend semantics (:385 — stock
-        # YAMLs ship "/Downloads/LOAM/" meaning "~/Downloads/LOAM/").
-        dest = os.path.expanduser(cfg.savePCDDirectory)
-        try:
-            os.makedirs(dest, exist_ok=True)
-        except OSError:
-            dest = os.path.join(os.path.expanduser("~"), dest.lstrip("/"))
+        # default resolution into savePCDDirectory). The reference
+        # unconditionally prepends $HOME to the configured value (:385 —
+        # stock YAMLs ship "/Downloads/LOAM/" meaning "~/Downloads/LOAM/");
+        # a leading "~" is honored as the user spelling the same thing.
+        raw = cfg.savePCDDirectory
+        if raw.startswith("~"):
+            dest = os.path.expanduser(raw)
+        else:
+            dest = os.path.join(os.path.expanduser("~"), raw.lstrip("/"))
         save_map(pipe, dest)
     if args.checkpoint:
         save_checkpoint(pipe, os.path.join(args.out, "checkpoint.pkl"))

@@ -161,13 +161,8 @@ def load_checkpoint(pipeline, path: str):
             )
         pipeline.state = jax.tree_util.tree_map(jnp.asarray, state["state"])
         # seed the host-side ring-count bounds from the snapshot so growth
-        # checks stay exact after resume (see ResidentPipeline._maybe_grow_rings)
-        st = state["state"]
-        pipeline._kf_known = (int(st.kf_count), int(state["frame_idx"]))
-        pipeline._g_known = (int(st.g_count), 0)
-        pipeline._l_known = (int(st.l_count), 0)
-        pipeline._gps_feeds = 0
-        pipeline._loop_flags = 0
+        # checks stay exact after resume (invariant owned by ResidentPipeline)
+        pipeline.seed_ring_bounds(state["state"], int(state["frame_idx"]))
         pipeline._stamps = list(state["stamps"])
         pipeline._time_base_val = state["time_base"]
         pipeline.frame_idx = state["frame_idx"]

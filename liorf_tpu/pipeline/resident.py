@@ -729,6 +729,20 @@ class ResidentPipeline(LiorfPipeline):
         self._loop_flags = 0
 
     # -- unbounded sessions: device-ring growth -------------------------
+    def seed_ring_bounds(self, state: ResidentState, frame_idx: int):
+        """Re-seed the host-side ring-count bounds from a restored state.
+
+        Called on checkpoint resume (mapping/export.py:load_checkpoint).
+        Lives here, next to ``_maybe_grow_rings``, because the two must
+        agree: a stale or missing seed makes the bounds UNDER-estimate the
+        device counts and the overflow check silently never fires. Any new
+        ring added to ResidentState must be seeded here too."""
+        self._kf_known = (int(state.kf_count), frame_idx)
+        self._g_known = (int(state.g_count), 0)
+        self._l_known = (int(state.l_count), 0)
+        self._gps_feeds = 0
+        self._loop_flags = 0
+
     def _maybe_grow_rings(self):
         """Grow any device ring whose host-side count bound nears capacity
         (the reference's graph and keyframe stores grow unboundedly;
@@ -747,22 +761,22 @@ class ResidentPipeline(LiorfPipeline):
         K, T = st.kf_poses.shape[0], st.traj.shape[0]
         G, L = st.g_i.shape[0], st.l_i.shape[0]
         m = 2
-        if self.frame_idx >= T - m:  # exact, no pull needed
-            self._grow_rings(False, True, False, False)
+        grow_traj = self.frame_idx >= T - m  # exact, no pull needed
+        grow_kf = grow_gps = grow_loop = False
         kf_bound = self._kf_known[0] + (self.frame_idx - self._kf_known[1])
         g_bound = self._g_known[0] + (self._gps_feeds - self._g_known[1])
         l_bound = self._l_known[0] + (self._loop_flags - self._l_known[1])
         if kf_bound >= K - m or g_bound >= G - m or l_bound >= L - m:
-            st = self.state
             counts = np.asarray(jnp.stack([st.kf_count, st.g_count, st.l_count]))
             kf_n, g_n, l_n = (int(x) for x in counts)
             self._kf_known = (kf_n, self.frame_idx)
             self._g_known = (g_n, self._gps_feeds)
             self._l_known = (l_n, self._loop_flags)
-            if kf_n >= K - m or g_n >= G - m or l_n >= L - m:
-                self._grow_rings(
-                    kf_n >= K - m, False, g_n >= G - m, l_n >= L - m
-                )
+            grow_kf = kf_n >= K - m
+            grow_gps = g_n >= G - m
+            grow_loop = l_n >= L - m
+        if grow_kf or grow_traj or grow_gps or grow_loop:
+            self._grow_rings(grow_kf, grow_traj, grow_gps, grow_loop)
 
     def _grow_rings(self, grow_kf, grow_traj, grow_gps, grow_loop):
         st = self.state
