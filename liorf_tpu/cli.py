@@ -58,6 +58,27 @@ def cmd_run(args):
     if os.environ.get("JAX_PLATFORMS") and "axon" not in os.environ["JAX_PLATFORMS"]:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_default_matmul_precision", "highest")
+    # persistent compilation cache: the per-frame program takes tens of
+    # seconds to compile on TPU; caching it makes every run after the
+    # first start instantly (XDG cache dir, overridable)
+    if jax.config.jax_compilation_cache_dir is None:
+        cache = os.environ.get(
+            "LIORF_TPU_CACHE",
+            os.path.join(
+                os.environ.get(
+                    "XDG_CACHE_HOME", os.path.expanduser("~/.cache")
+                ),
+                "liorf_tpu",
+                "xla",
+            ),
+        )
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        except OSError:
+            pass  # read-only home: run without the persistent cache
 
     from .mapping.export import load_checkpoint, save_checkpoint, save_map
     from .pipeline import SlamConfig, load_config, make_pipeline

@@ -682,6 +682,51 @@ def _bootstrap_impl(
     )
 
 
+def _grown_state(
+    st: ResidentState, grow_kf: bool, grow_traj: bool, grow_gps: bool,
+    grow_loop: bool,
+) -> ResidentState:
+    """Capacity-doubled copy of `st` along the flagged rings (pure)."""
+    eye = np.eye(3, dtype=np.float32)
+
+    def pad(a, fill=0.0):
+        n = a.shape[0]
+        ext_shape = (n,) + a.shape[1:]
+        ext = jnp.full(ext_shape, fill, a.dtype)
+        return jnp.concatenate([a, ext], axis=0)
+
+    def pad_eye(a):
+        n = a.shape[0]
+        return jnp.concatenate([a, jnp.broadcast_to(eye, (n, 3, 3))], axis=0)
+
+    upd = {}
+    if grow_kf:
+        upd.update(
+            kf_poses=pad(st.kf_poses),
+            kf_times=pad(st.kf_times),
+            kf_clouds=pad(st.kf_clouds, PAD_COORD),
+            kf_masks=pad(st.kf_masks, False),
+            sc_descs=pad(st.sc_descs),
+            sc_keys=pad(st.sc_keys),
+            e_Rm=pad_eye(st.e_Rm),
+            e_tm=pad(st.e_tm),
+            kf_has_loop=pad(st.kf_has_loop, False),
+        )
+    if grow_traj:
+        upd.update(traj=pad(st.traj))
+    if grow_gps:
+        upd.update(
+            g_i=pad(st.g_i, 0), g_t=pad(st.g_t), g_sqrt=pad(st.g_sqrt, 1.0)
+        )
+    if grow_loop:
+        upd.update(
+            l_i=pad(st.l_i, 0), l_j=pad(st.l_j, 0), l_Rm=pad_eye(st.l_Rm),
+            l_tm=pad(st.l_tm), l_sqrt=pad(st.l_sqrt, 1.0),
+            l_cauchy=pad(st.l_cauchy),
+        )
+    return st._replace(**upd)
+
+
 class ResidentPipeline(LiorfPipeline):
     """Zero-pull streaming pipeline (odometry + GPS configurations).
 
@@ -727,6 +772,9 @@ class ResidentPipeline(LiorfPipeline):
         self._l_known = (0, 0)  # (count, loop flags)
         self._gps_feeds = 0
         self._loop_flags = 0
+        # async growth precompile (see _maybe_precompile_growth)
+        self._precompile_thread = None
+        self._precompiled_keys: set = set()
 
     # -- unbounded sessions: device-ring growth -------------------------
     def seed_ring_bounds(self, state: ResidentState, frame_idx: int):
@@ -777,49 +825,74 @@ class ResidentPipeline(LiorfPipeline):
             grow_loop = l_n >= L - m
         if grow_kf or grow_traj or grow_gps or grow_loop:
             self._grow_rings(grow_kf, grow_traj, grow_gps, grow_loop)
+        else:
+            self._maybe_precompile_growth(kf_bound, g_bound, l_bound)
+
+    def _maybe_precompile_growth(self, kf_bound, g_bound, l_bound):
+        """Warm the jit cache for the post-growth shapes BEFORE growth hits.
+
+        Growing a ring retraces ``resident_step_packed`` for the doubled
+        shapes — a multi-second XLA compile that would stall a live 10 Hz
+        session for hundreds of frames. When any ring's host-side bound
+        crosses 3/4 of its capacity, a daemon thread runs ONE dummy step on
+        a grown copy of the current state; that seeds the in-process jit
+        cache, so the real growth later dispatches without compiling. If
+        the predicted grow-set differs from the actual one (rings filling
+        at dissimilar rates), the prediction simply misses and growth
+        falls back to the synchronous compile."""
+        st = self.state
+        K, T = st.kf_poses.shape[0], st.traj.shape[0]
+        G, L = st.g_i.shape[0], st.l_i.shape[0]
+        pred = (
+            kf_bound >= (3 * K) // 4,
+            self.frame_idx >= (3 * T) // 4,
+            g_bound >= (3 * G) // 4,
+            l_bound >= (3 * L) // 4,
+        )
+        if not any(pred):
+            return
+        key = (pred, K, T, G, L)
+        if key in self._precompiled_keys:
+            return
+        if self._precompile_thread is not None and self._precompile_thread.is_alive():
+            return  # one precompile in flight at a time
+        self._precompiled_keys.add(key)
+
+        # grown copy built on the main thread (device concats, ordered
+        # after all pending work on this state); the dummy inputs are all
+        # zeros (n_kept=0, no gps, no loop) — the step runs masked-empty
+        grown = _grown_state(st, *pred)
+        S, W = self.cfg.raw_cap, self.cfg.imu_window
+        buf = np.zeros(frame_buf_size(S, W), np.float32)
+        params = self.params
+
+        def work():
+            import logging
+
+            try:
+                out = resident_step_packed(grown, jnp.asarray(buf), params, S, W)
+                jax.block_until_ready(out.traj_count)
+                logging.getLogger("liorf_tpu").info(
+                    "growth precompile ready (kf=%s traj=%s gps=%s loop=%s)",
+                    *pred,
+                )
+            except Exception:
+                logging.getLogger("liorf_tpu").exception(
+                    "growth precompile failed; growth will compile inline"
+                )
+
+        import threading
+
+        t = threading.Thread(
+            target=work, daemon=True, name="liorf-growth-precompile"
+        )
+        t.start()
+        self._precompile_thread = t
 
     def _grow_rings(self, grow_kf, grow_traj, grow_gps, grow_loop):
-        st = self.state
-        eye = np.eye(3, dtype=np.float32)
-
-        def pad(a, fill=0.0):
-            n = a.shape[0]
-            ext_shape = (n,) + a.shape[1:]
-            ext = jnp.full(ext_shape, fill, a.dtype)
-            return jnp.concatenate([a, ext], axis=0)
-
-        def pad_eye(a):
-            n = a.shape[0]
-            return jnp.concatenate(
-                [a, jnp.broadcast_to(eye, (n, 3, 3))], axis=0
-            )
-
-        upd = {}
-        if grow_kf:
-            upd.update(
-                kf_poses=pad(st.kf_poses),
-                kf_times=pad(st.kf_times),
-                kf_clouds=pad(st.kf_clouds, PAD_COORD),
-                kf_masks=pad(st.kf_masks, False),
-                sc_descs=pad(st.sc_descs),
-                sc_keys=pad(st.sc_keys),
-                e_Rm=pad_eye(st.e_Rm),
-                e_tm=pad(st.e_tm),
-                kf_has_loop=pad(st.kf_has_loop, False),
-            )
-        if grow_traj:
-            upd.update(traj=pad(st.traj))
-        if grow_gps:
-            upd.update(
-                g_i=pad(st.g_i, 0), g_t=pad(st.g_t), g_sqrt=pad(st.g_sqrt, 1.0)
-            )
-        if grow_loop:
-            upd.update(
-                l_i=pad(st.l_i, 0), l_j=pad(st.l_j, 0), l_Rm=pad_eye(st.l_Rm),
-                l_tm=pad(st.l_tm), l_sqrt=pad(st.l_sqrt, 1.0),
-                l_cauchy=pad(st.l_cauchy),
-            )
-        self.state = st._replace(**upd)
+        self.state = _grown_state(
+            self.state, grow_kf, grow_traj, grow_gps, grow_loop
+        )
         import logging
 
         logging.getLogger("liorf_tpu").warning(

@@ -181,3 +181,50 @@ def test_resident_ring_growth():
     assert pipe.state.kf_poses.shape[0] >= n_kf + 2
     # monotone forward motion preserved across the growth recompiles
     assert poses[-1, 3] > poses[0, 3]
+
+
+def test_growth_precompile_warms_cache():
+    """The async growth precompile must kick in before a ring fills and
+    seed the jit cache with the post-growth shapes, so the actual growth
+    dispatches without an inline compile."""
+    from liorf_tpu.pipeline.resident import resident_step_packed
+
+    syn = SyntheticDataset(
+        SyntheticConfig(n_frames=20, n_rings=16, points_per_ring=360)
+    )
+    cfg = SlamConfig(
+        scan_capacity=4096, map_capacity=32768, kf_cloud_capacity=2048,
+        near_kf_capacity=16, imu_window=64, point_filter_num=1,
+        downsampleRate=1, mappingSurfLeafSize=0.4,
+        surroundingKeyframeMapLeafSize=0.4, loopClosureEnableFlag=False,
+        kf_capacity=64, traj_capacity=16, gps_capacity=8, loop_capacity=8,
+    )
+    pipe = ResidentPipeline(cfg)
+    imu = syn.imu_stream()
+    ii = 0
+    grown_cache_hit = False
+    for f in range(20):
+        scan = syn.scan(f)
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        # just before the trajectory ring grows (at frame_idx >= T-2=14),
+        # the precompile (predicted at frame_idx >= 12) must have fired
+        # and finished: the grown-shape executable is already cached
+        if pipe.frame_idx == 14:
+            assert pipe._precompiled_keys, "precompile never predicted growth"
+            t = pipe._precompile_thread
+            assert t is not None
+            t.join(timeout=300)
+            assert not t.is_alive(), "precompile thread hung"
+            size_before = resident_step_packed._cache_size()
+            pipe.process_scan(scan)  # this frame grows the trajectory ring
+            assert pipe.state.traj.shape[0] > 16
+            grown_cache_hit = (
+                resident_step_packed._cache_size() == size_before
+            )
+            continue
+        pipe.process_scan(scan)
+    assert grown_cache_hit, "growth retraced despite the precompile"
+    _, poses = pipe.trajectory_arrays()
+    assert len(poses) == 20 and np.isfinite(poses).all()
