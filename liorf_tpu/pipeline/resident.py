@@ -199,26 +199,46 @@ def _solve_graph_resident(state: ResidentState, params: ResidentParams, full):
     return jnp.where(keep, new_poses, state.kf_poses)
 
 
-def _try_loop_closure(state: ResidentState, params: ResidentParams, k, now):
+def _try_loop_closure(state: ResidentState, params: ResidentParams, k, now,
+                      do_loop, ext_has, ext_t_cur, ext_t_pre):
     """In-graph loop closure for the just-inserted keyframe `k`.
 
-    RS candidate first (radius + time-gap search over keyframe positions,
-    ``mapOptmization.cpp:732-765``), ScanContext fallback
-    (``Scancontext.cpp:253-344``); the chosen candidate is ICP-verified
-    against a +-halfwidth world-frame submap (``:821-844``, leaf 0.5) and
-    accepted under the fitness threshold (``:571-585``). Returns the loop
-    rings updated and a flag that a factor was added."""
+    External candidate first (time-stamped pair from a third-party
+    detector, ``mapOptmization.cpp:767-819``: stamps mapped to the nearest
+    keyframes by searchsorted over the time ring), then RS (radius +
+    time-gap search over keyframe positions, ``:732-765``), then
+    ScanContext fallback (``Scancontext.cpp:253-344``); the chosen
+    candidate is ICP-verified against a +-halfwidth world-frame submap
+    (``:821-844``, leaf 0.5) and accepted under the fitness threshold
+    (``:571-585``). Returns the loop rings updated and a flag that a
+    factor was added."""
     from ..ops.icp import ICPParams, icp_point2point
 
     K = state.kf_poses.shape[0]
     C = state.kf_clouds.shape[1]
     idx = jnp.arange(K, dtype=jnp.int32)
     count = state.kf_count
-    cur_pose = state.kf_poses[k]
 
-    # --- RS candidate
+    # --- external candidate (loop times -> keyframe indices; the
+    # reference scans the sorted time ring from both ends, :787-806 —
+    # equivalent to searchsorted over the ascending keyframe times)
+    times_sorted = jnp.where(idx < count, state.kf_times, jnp.inf)
+    ext_cur = jnp.minimum(
+        jnp.searchsorted(times_sorted, ext_t_cur, side="left").astype(jnp.int32),
+        count - 1,
+    )
+    ext_pre = jnp.clip(
+        jnp.searchsorted(times_sorted, ext_t_pre, side="right").astype(jnp.int32) - 1,
+        0, count - 1,
+    )
+    ext_found = ext_has & (ext_cur != ext_pre) & ~state.kf_has_loop[ext_cur]
+
+    cur_k = jnp.where(ext_found, ext_cur, k).astype(jnp.int32)
+    cur_pose = state.kf_poses[cur_k]
+
+    # --- RS candidate (always about the just-inserted keyframe k)
     pos = state.kf_poses[:, 3:6]
-    d = jnp.linalg.norm(pos - cur_pose[3:6], axis=-1)
+    d = jnp.linalg.norm(pos - state.kf_poses[k, 3:6], axis=-1)
     rs_ok = (
         (idx < count)
         & (idx != k)
@@ -226,17 +246,21 @@ def _try_loop_closure(state: ResidentState, params: ResidentParams, k, now):
         & ((now - state.kf_times) > params.loop_time_diff)
     )
     rs_cand = jnp.argmin(jnp.where(rs_ok, d, jnp.inf))
-    rs_found = rs_ok[rs_cand]
+    # RS/SC only fire on loop-cadence frames (the reference's 1 Hz loop
+    # thread); an off-cadence frame can still carry an external candidate
+    rs_found = rs_ok[rs_cand] & do_loop
 
     # --- SC candidate (only consulted when RS finds nothing)
     det = scancontext.detect_loop(
         state.sc_descs, state.sc_keys, count, state.sc_descs[k], state.sc_keys[k]
     )
-    sc_found = (det.index >= 0) & (det.index != k)
+    sc_found = (det.index >= 0) & (det.index != k) & do_loop
 
-    use_sc = (~rs_found) & sc_found
-    found = rs_found | sc_found
-    cand = jnp.where(rs_found, rs_cand, jnp.maximum(det.index, 0)).astype(jnp.int32)
+    use_sc = (~ext_found) & (~rs_found) & sc_found
+    found = ext_found | rs_found | sc_found
+    cand = jnp.where(
+        ext_found, ext_pre, jnp.where(rs_found, rs_cand, jnp.maximum(det.index, 0))
+    ).astype(jnp.int32)
 
     # --- submaps in world frame
     def world_points(sel_idx, sel_ok):
@@ -258,7 +282,7 @@ def _try_loop_closure(state: ResidentState, params: ResidentParams, k, now):
     )
 
     cur_xyz, cur_m = world_points(
-        k[None], jnp.ones((1,), bool)
+        cur_k[None], jnp.ones((1,), bool)
     )
     cur_xyz, cur_m = voxel_downsample_xyz(
         cur_xyz, cur_m, params.loop_icp_leaf, params.loop_icp_cap
@@ -280,7 +304,7 @@ def _try_loop_closure(state: ResidentState, params: ResidentParams, k, now):
 
     n_cur = jnp.sum(cur_m.astype(jnp.int32))
     n_prev = jnp.sum(prev_m.astype(jnp.int32))
-    gate = found & (n_cur >= 300) & (n_prev >= 1000) & ~state.kf_has_loop[k]
+    gate = found & (n_cur >= 300) & (n_prev >= 1000) & ~state.kf_has_loop[cur_k]
 
     res = icp_point2point(
         src_xyz, cur_m, prev_xyz, prev_m, jnp.zeros(6, jnp.float32),
@@ -309,7 +333,7 @@ def _try_loop_closure(state: ResidentState, params: ResidentParams, k, now):
     li = jnp.minimum(state.l_count, L - 1)
     can_add = accept & (state.l_count < L)
     l_i = jnp.where(can_add, state.l_i.at[li].set(cand), state.l_i)
-    l_j = jnp.where(can_add, state.l_j.at[li].set(k), state.l_j)
+    l_j = jnp.where(can_add, state.l_j.at[li].set(cur_k), state.l_j)
     l_Rm = jnp.where(can_add, state.l_Rm.at[li].set(Rm), state.l_Rm)
     l_tm = jnp.where(can_add, state.l_tm.at[li].set(tm), state.l_tm)
     l_sqrt = jnp.where(can_add, state.l_sqrt.at[li].set(1.0 / sigma), state.l_sqrt)
@@ -317,15 +341,15 @@ def _try_loop_closure(state: ResidentState, params: ResidentParams, k, now):
     return state._replace(
         l_i=l_i, l_j=l_j, l_Rm=l_Rm, l_tm=l_tm, l_sqrt=l_sqrt, l_cauchy=l_cauchy,
         l_count=state.l_count + can_add.astype(jnp.int32),
-        kf_has_loop=state.kf_has_loop.at[k].set(
-            state.kf_has_loop[k] | can_add
+        kf_has_loop=state.kf_has_loop.at[cur_k].set(
+            state.kf_has_loop[cur_k] | can_add
         ),
     ), can_add
 
 
 def _insert_keyframe(state: ResidentState, params: ResidentParams, pose, now,
                      ds_xyz, ds_mask, desc, key, gps_has, gps_enu, gps_sigma,
-                     do_loop):
+                     do_loop, ext_has, ext_t_cur, ext_t_pre):
     """Keyframe branch: ring appends + factors + solve + grid rebuild."""
     K = state.kf_poses.shape[0]
     C = params.kf_cloud_cap
@@ -401,13 +425,15 @@ def _insert_keyframe(state: ResidentState, params: ResidentParams, pose, now,
     loop_added = jnp.asarray(False)
     if params.loop_enabled:
         def run_loop(st):
-            return _try_loop_closure(st, params, k, now)
+            return _try_loop_closure(
+                st, params, k, now, do_loop, ext_has, ext_t_cur, ext_t_pre
+            )
 
         def skip_loop(st):
             return st, jnp.asarray(False)
 
         mid, loop_added = jax.lax.cond(
-            do_loop & (mid.kf_count > 2), run_loop, skip_loop, mid
+            (do_loop | ext_has) & (mid.kf_count > 2), run_loop, skip_loop, mid
         )
 
     # graph relaxation (full batch when a GPS factor or loop landed,
@@ -444,6 +470,8 @@ def resident_step(
     gps_has: jax.Array, gps_enu: jax.Array, gps_sigma: jax.Array,
     # loop-closure cadence flag (host: ~1 Hz)
     do_loop: jax.Array,
+    # external loop candidate (rebased stamps; loopInfoHandler parity)
+    ext_has: jax.Array, ext_t_cur: jax.Array, ext_t_pre: jax.Array,
     params: ResidentParams,
 ) -> ResidentState:
     fp = params.frame
@@ -506,7 +534,7 @@ def resident_step(
     def kf_branch(st):
         new_st, new_pose = _insert_keyframe(
             st, params, pose, now, ds_xyz, ds_mask, desc, key,
-            gps_has, gps_enu, gps_sigma, do_loop,
+            gps_has, gps_enu, gps_sigma, do_loop, ext_has, ext_t_cur, ext_t_pre,
         )
         return new_st, new_pose
 
@@ -542,8 +570,8 @@ def frame_buf_size(S: int, W: int) -> int:
     # xyz 3S + rel S + n_kept 1 (mask is recomputed on device — points are
     # packed compactly, so mask = arange < n_kept; saves S floats of wire)
     # | scan_start 1 | deskew W+3W+W | fusion 3W+3W+W+W | rpy 3 + ok 1 |
-    # gps 1+3+3 | do_loop 1
-    return 4 * S + 13 * W + 14
+    # gps 1+3+3 | do_loop 1 | ext loop candidate 1+1+1
+    return 4 * S + 13 * W + 17
 
 
 def _unpack_frame(buf: jax.Array, S: int, W: int):
@@ -574,10 +602,13 @@ def _unpack_frame(buf: jax.Array, S: int, W: int):
     gps_enu = take(3)
     gps_sigma = take(3)
     do_loop = take(1)[0] > 0.5
+    ext_has = take(1)[0] > 0.5
+    ext_t_cur = take(1)[0]
+    ext_t_pre = take(1)[0]
     return (
         xyz, rel_t, mask, scan_start, dk_times, dk_gyr, dk_mask,
         fu_acc, fu_gyr, fu_dts, fu_mask, imu_rpy, imu_rpy_ok,
-        gps_has, gps_enu, gps_sigma, do_loop,
+        gps_has, gps_enu, gps_sigma, do_loop, ext_has, ext_t_cur, ext_t_pre,
     )
 
 
@@ -761,6 +792,12 @@ class ResidentPipeline(LiorfPipeline):
             loop_fitness_thresh=cfg.historyKeyframeFitnessScore,
         )
         self._synced = False
+        # GC quiesce schedule: after warmup (compiles done, long-lived
+        # object population stable) freeze the object graph so gen-2
+        # collections never pause the stream (utils/gc_control.py; measured
+        # 395 ms at frame 32 otherwise). Re-armed after ring growth, which
+        # compiles fresh executables worth freezing too.
+        self._gc_quiesce_at = 8 if cfg.gc_low_latency else -1
         # exact host-side upper bounds on the device ring counts, so short
         # sessions never pull mid-run: the trajectory advances exactly once
         # per processed frame (known precisely), keyframes at most once per
@@ -772,6 +809,13 @@ class ResidentPipeline(LiorfPipeline):
         self._l_known = (0, 0)  # (count, loop flags)
         self._gps_feeds = 0
         self._loop_flags = 0
+        # external loop-closure candidates (loopInfoHandler parity: a
+        # bounded deque of (t_cur, t_pre) stamp pairs, newest-5 kept;
+        # mapOptmization.cpp:530-541)
+        from collections import deque
+
+        self.loop_info_queue: deque = deque(maxlen=5)
+        self._ext_pending: list | None = None  # [t_cur, t_pre, frames_left]
         # async growth precompile (see _maybe_precompile_growth)
         self._precompile_thread = None
         self._precompiled_keys: set = set()
@@ -893,6 +937,8 @@ class ResidentPipeline(LiorfPipeline):
         self.state = _grown_state(
             self.state, grow_kf, grow_traj, grow_gps, grow_loop
         )
+        if self.cfg.gc_low_latency:
+            self._gc_quiesce_at = self.frame_idx + 4
         import logging
 
         logging.getLogger("liorf_tpu").warning(
@@ -919,6 +965,10 @@ class ResidentPipeline(LiorfPipeline):
             )
         if self.state is not None:
             self._maybe_grow_rings()
+        if self.frame_idx == self._gc_quiesce_at:
+            from ..utils.gc_control import quiesce
+
+            quiesce()
         base = self._time_base(t0)
         dk_t, _, dk_gyr, _, dk_m, _ = self._imu_window(
             t0 - 0.01, t1 + 0.01, cfg.imu_window
@@ -949,9 +999,15 @@ class ResidentPipeline(LiorfPipeline):
                 self.cfg.loopClosureEnableFlag
                 and self.frame_idx % self.loop_every_frames == 0
             )
-            # exact host-side ring-count bounds (see _maybe_grow_rings)
+            ext_has, ext_tc, ext_tp = (
+                self._ext_loop_candidate(base)
+                if self.cfg.loopClosureEnableFlag
+                else (False, 0.0, 0.0)
+            )
+            # exact host-side ring-count bounds (see _maybe_grow_rings);
+            # an external candidate can add a loop factor off-cadence
             self._gps_feeds += int(gps_has)
-            self._loop_flags += int(do_loop)
+            self._loop_flags += int(do_loop or ext_has)
             # fuse every per-frame input into ONE host buffer -> ONE
             # host->device transfer (the tunnel charges fixed latency per
             # array; see resident_step_packed)
@@ -1002,6 +1058,9 @@ class ResidentPipeline(LiorfPipeline):
             put(gps_enu, 3)
             put(gps_sigma, 3)
             put(float(do_loop), 1)
+            put(float(ext_has), 1)
+            put(ext_tc, 1)
+            put(ext_tp, 1)
             # the layout lives in three places (frame_buf_size, this pack
             # sequence, _unpack_frame); a mismatch must fail loudly, not
             # feed np.empty garbage to the device (a bare assert would be
@@ -1019,6 +1078,42 @@ class ResidentPipeline(LiorfPipeline):
         return FrameResult(
             stamp=t0, pose=None, degenerate=False, is_keyframe=False, num_matched=0
         )
+
+    def push_loop_candidate(self, t_cur: float, t_pre: float):
+        """Feed an external loop-closure candidate (stamp pair).
+
+        Equivalent of publishing to the reference's loop-info topic
+        (``loopInfoHandler``, mapOptmization.cpp:530-541): a third-party
+        place-recognition module names two scan times it believes close a
+        loop; the pipeline maps them to keyframes, ICP-verifies, and adds
+        the factor. Bounded queue, newest 5 kept."""
+        self.loop_info_queue.append((float(t_cur), float(t_pre)))
+
+    def _ext_loop_candidate(self, base: float):
+        """Current external candidate to ship with this frame (or none).
+
+        The loop subgraph only runs on keyframe frames, and the host can't
+        know (pull-free) whether THIS frame becomes a keyframe — so a
+        candidate is resent for a window of frames (at-least-once); the
+        in-graph ``kf_has_loop`` dedup makes resends idempotent, exactly
+        like the reference's loopIndexContainer check
+        (mapOptmization.cpp:811-813). The time-gap gate mirrors
+        detectLoopClosureExternal (:780-781: pairs closer than
+        historyKeyframeSearchTimeDiff are consumed and dropped)."""
+        if self._ext_pending is None:
+            while self.loop_info_queue:
+                t_cur, t_pre = self.loop_info_queue.popleft()
+                if abs(t_cur - t_pre) >= self.cfg.historyKeyframeSearchTimeDiff:
+                    self._ext_pending = [t_cur, t_pre, 20]  # ~2 s at 10 Hz
+                    break
+        if self._ext_pending is None:
+            return False, 0.0, 0.0
+        t_cur, t_pre, left = self._ext_pending
+        if left <= 1:
+            self._ext_pending = None
+        else:
+            self._ext_pending[2] = left - 1
+        return True, np.float32(t_cur - base), np.float32(t_pre - base)
 
     def _gps_candidate(self, stamp: float):
         """Host half of addGPSFactor gating: time alignment +-0.2 s and the

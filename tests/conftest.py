@@ -57,5 +57,8 @@ def _reclaim_jit_mmaps():
     yield
     import gc
 
+    from liorf_tpu.utils import gc_control
+
+    gc_control.restore()  # unfreeze anything a pipeline quiesced
     jax.clear_caches()
     gc.collect()

@@ -120,6 +120,57 @@ def test_resident_loop_closure():
     assert n_loops >= 1, "no loop factor was added on a self-revisiting circle"
 
 
+def test_resident_external_loop_candidate():
+    """External loop candidates (loopInfoHandler parity,
+    mapOptmization.cpp:530-541 + detectLoopClosureExternal :767-819):
+    with RS/SC cadence effectively disabled, a pushed (t_cur, t_pre)
+    stamp pair alone must produce a verified loop factor."""
+    syn = SyntheticDataset(
+        SyntheticConfig(
+            n_frames=48, n_rings=16, points_per_ring=360, speed=3.0, yaw_rate=1.5
+        )
+    )
+    cfg = SlamConfig(
+        scan_capacity=4096,
+        map_capacity=32768,
+        kf_cloud_capacity=2048,
+        near_kf_capacity=16,
+        imu_window=64,
+        point_filter_num=1,
+        downsampleRate=1,
+        mappingSurfLeafSize=0.4,
+        surroundingKeyframeMapLeafSize=0.4,
+        loopClosureEnableFlag=True,
+        loopClosureFrequency=0.1,  # cadence fires at frame 100 — never here
+        historyKeyframeSearchTimeDiff=2.0,
+        historyKeyframeSearchNum=5,
+        kf_capacity=64,
+        traj_capacity=128,
+        gps_capacity=16,
+        loop_capacity=16,
+    )
+    pipe = ResidentPipeline(cfg)
+    imu = syn.imu_stream()
+    scans = [syn.scan(f) for f in range(48)]
+    ii = 0
+    for f, scan in enumerate(scans):
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        if f == 44:  # revisit point on the circle; the loop partner is early
+            pipe.push_loop_candidate(scans[43].stamp, scans[2].stamp)
+        pipe.process_scan(scan)
+    n_loops = int(np.asarray(pipe.state.l_count))
+    _, poses = pipe.trajectory_arrays()
+    assert np.isfinite(poses).all()
+    assert n_loops >= 1, "external loop candidate did not produce a factor"
+    # a too-close stamp pair must be consumed and dropped (time-gap gate)
+    pipe._ext_pending = None  # clear the resend window of the first pair
+    pipe.push_loop_candidate(scans[44].stamp, scans[44].stamp + 0.5)
+    assert pipe._ext_loop_candidate(0.0)[0] is False
+    assert len(pipe.loop_info_queue) == 0
+
+
 def test_resident_checkpoint_resume(syn, small_cfg, tmp_path):
     """Bit-exact resume: run 10 frames straight vs 6 + checkpoint + 4.
 
