@@ -904,8 +904,15 @@ class ResidentPipeline(LiorfPipeline):
 
         # grown copy built on the main thread (device concats, ordered
         # after all pending work on this state); the dummy inputs are all
-        # zeros (n_kept=0, no gps, no loop) — the step runs masked-empty
-        grown = _grown_state(st, *pred)
+        # zeros (n_kept=0, no gps, no loop) — the step runs masked-empty.
+        # The state buffers are COPIED first: resident_step_packed donates
+        # its state argument, and the non-grown fields of a _grown_state
+        # alias the live self.state buffers — donating those would delete
+        # them under the main loop (or, losing the race the other way,
+        # the main loop's own donation deletes them under this dummy step)
+        grown = _grown_state(
+            jax.tree_util.tree_map(jnp.copy, st), *pred
+        )
         S, W = self.cfg.raw_cap, self.cfg.imu_window
         buf = np.zeros(frame_buf_size(S, W), np.float32)
         params = self.params
