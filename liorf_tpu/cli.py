@@ -132,6 +132,18 @@ def cmd_run(args):
     if hasattr(pipe, "sync_store"):
         pipe.sync_store()  # pull keyframe clouds for export (one-time)
     pipe.save_tum(os.path.join(args.out, "trajectory_tum.txt"))
+    if args.imu_tum and hasattr(pipe, "imu_rate_trajectory"):
+        # IMU-rate odometry stream (the reference's odometry/imu topic,
+        # imuPreintegration.cpp:482-505) as a TUM trajectory
+        from .core import se3np as _se3np
+        from .eval.metrics import save_tum as _save_tum
+
+        it, ip = pipe.imu_rate_trajectory()
+        if len(it):
+            quats = _se3np.rot_to_quat_wxyz(_se3np.euler_to_rot(ip[:, :3]))
+            _save_tum(
+                os.path.join(args.out, "imu_rate_tum.txt"), it, ip[:, 3:6], quats
+            )
     if args.save_map:
         save_map(pipe, args.out, resolution=args.resolution)
     elif cfg.savePCD:
@@ -300,6 +312,10 @@ def main(argv=None):
     r.add_argument("--gps", action="store_true", help="enable the GPS factor stream")
     r.add_argument("--out", required=True)
     r.add_argument("--save-map", action="store_true")
+    r.add_argument(
+        "--imu-tum", action="store_true",
+        help="also export the IMU-rate odometry stream as imu_rate_tum.txt",
+    )
     r.add_argument("--resolution", type=float, default=0.0)
     r.add_argument("--checkpoint", action="store_true")
     r.add_argument("--verbose", action="store_true")

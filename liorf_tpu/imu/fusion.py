@@ -242,3 +242,37 @@ def predict_poses(
 
     _, (Rs, ps) = jax.lax.scan(step, (state.R, state.p, state.v), (acc, gyr, dts, mask))
     return Rs, ps
+
+
+def predict_poses_parallel(
+    state: FusionState,
+    acc: jax.Array,  # [K, 3]
+    gyr: jax.Array,  # [K, 3]
+    dts: jax.Array,  # [K]
+    mask: jax.Array,  # [K]
+    gravity: float = 9.80511,
+) -> tuple[jax.Array, jax.Array]:
+    """``predict_poses`` in log-depth parallel form (the in-graph variant).
+
+    The K-step serial recursion factors into (a) a cumulative product of
+    per-sample rotation increments (``lax.associative_scan`` over 3x3
+    matmuls) and (b) two cumulative sums for velocity/position once the
+    world-frame accelerations are known — 2·log2(K) batched rounds instead
+    of K sequential tiny steps, matching ``predict_poses`` bit-for-bit up
+    to f32 reassociation. Used by the device-resident pipeline to record
+    the IMU-rate odometry stream without stalling the frame program."""
+    dt = jnp.where(mask, dts, 0.0)
+    g = jnp.asarray([0.0, 0.0, -gravity], dtype=state.p.dtype)
+
+    dR_inc = jax.vmap(se3.so3_exp)((gyr - state.bg) * dt[:, None])  # [K,3,3]
+    prods = jax.lax.associative_scan(lambda x, y: x @ y, dR_inc)
+    Rs = state.R @ prods  # [K, 3, 3] rotation AFTER each sample
+    pre_R = jnp.concatenate([state.R[None], Rs[:-1]], axis=0)  # before each
+
+    a_w = jnp.einsum("kij,kj->ki", pre_R, acc - state.ba) + g  # [K, 3]
+    dv = a_w * dt[:, None]
+    vs = state.v + jnp.cumsum(dv, axis=0)  # velocity AFTER each sample
+    pre_v = jnp.concatenate([state.v[None], vs[:-1]], axis=0)
+    dp = pre_v * dt[:, None] + 0.5 * a_w * dt[:, None] ** 2
+    ps = state.p + jnp.cumsum(dp, axis=0)
+    return Rs, ps

@@ -115,6 +115,9 @@ class SlamConfig:
     traj_capacity: int = 8192  # device-resident trajectory ring capacity
     gps_capacity: int = 256  # device-resident GPS factor ring capacity
     loop_capacity: int = 128  # device-resident loop-factor ring capacity
+    # device-resident IMU-rate odometry ring (one entry per IMU sample;
+    # the reference's odometry/imu stream) — 2 MB at the default
+    imu_rate_capacity: int = 65536
     # Quiet CPython gen-2 GC after warmup (utils/gc_control.py): a full
     # collection is a ~400 ms stop-the-world pause mid-stream otherwise.
     gc_low_latency: bool = True

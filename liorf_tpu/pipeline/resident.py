@@ -120,6 +120,11 @@ class ResidentState(NamedTuple):
     # per-frame trajectory ring: pose(6), is_kf, degenerate, converged, num_matched
     traj: jax.Array  # [T, 10]
     traj_count: jax.Array  # [] i32
+    # IMU-rate odometry ring: t, rpy(3), xyz(3), valid — the reference's
+    # odometry/imu output stream (TransformFusion + imuHandler,
+    # imuPreintegration.cpp:23-154,458-506) recorded in-graph, pull-free
+    imu_traj: jax.Array  # [TI, 8]
+    imu_count: jax.Array  # [] i32
 
 
 def _chain_edge(prev_pose: jax.Array, new_pose: jax.Array):
@@ -464,6 +469,7 @@ def resident_step(
     dk_times: jax.Array, dk_gyr: jax.Array, dk_mask: jax.Array,
     # fusion IMU window
     fu_acc: jax.Array, fu_gyr: jax.Array, fu_dts: jax.Array, fu_mask: jax.Array,
+    fu_times: jax.Array,
     # 9-axis attitude (zeros + False when unavailable)
     imu_rpy: jax.Array, imu_rpy_ok: jax.Array,
     # gps candidate (pre-gated host-side for time/cov)
@@ -491,6 +497,36 @@ def resident_step(
         pre, state.filt.mean.ba, state.filt.mean.bg, fp.fusion.imu,
     )
     guess = jnp.concatenate([se3.rot_to_euler(nav.R), nav.p])
+
+    # --- IMU-rate odometry recording (TransformFusion parity) ---
+    # Propagate the previous fused state through this frame's IMU window
+    # (the samples between the two scans) and append the per-sample poses
+    # to the IMU-rate ring: exactly the reference's odometry/imu stream —
+    # each sample's pose is the latest lidar-corrected state re-propagated
+    # through the IMU queue (imuPreintegration.cpp:406-432,458-506).
+    ir_R, ir_p = imu_fusion.predict_poses_parallel(
+        state.filt.mean, fu_acc, fu_gyr, fu_dts, fu_mask,
+        gravity=fp.fusion.imu.gravity,
+    )
+    ir_block = jnp.concatenate(
+        [
+            fu_times[:, None],
+            se3.rot_to_euler(ir_R),
+            ir_p,
+            fu_mask[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    TI, Wb = state.imu_traj.shape[0], ir_block.shape[0]
+    ir_off = jnp.minimum(state.imu_count, TI - Wb)
+    state = state._replace(
+        imu_traj=jax.lax.dynamic_update_slice(
+            state.imu_traj, ir_block, (ir_off, 0)
+        ),
+        imu_count=jnp.minimum(
+            state.imu_count + jnp.sum(fu_mask.astype(jnp.int32)), TI
+        ),
+    )
 
     # --- scan-to-map registration ---
     res = scan_to_map(ds_xyz, ds_mask, state.grid, guess, fp.match)
@@ -569,9 +605,9 @@ def frame_buf_size(S: int, W: int) -> int:
     """Flat f32 frame-input buffer length for scan capacity S, IMU window W."""
     # xyz 3S + rel S + n_kept 1 (mask is recomputed on device — points are
     # packed compactly, so mask = arange < n_kept; saves S floats of wire)
-    # | scan_start 1 | deskew W+3W+W | fusion 3W+3W+W+W | rpy 3 + ok 1 |
-    # gps 1+3+3 | do_loop 1 | ext loop candidate 1+1+1
-    return 4 * S + 13 * W + 17
+    # | scan_start 1 | deskew W+3W+W | fusion 3W+3W+W+W+W(times) |
+    # rpy 3 + ok 1 | gps 1+3+3 | do_loop 1 | ext loop candidate 1+1+1
+    return 4 * S + 14 * W + 17
 
 
 def _unpack_frame(buf: jax.Array, S: int, W: int):
@@ -596,6 +632,7 @@ def _unpack_frame(buf: jax.Array, S: int, W: int):
     fu_gyr = take(3 * W).reshape(W, 3)
     fu_dts = take(W)
     fu_mask = take(W) > 0.5
+    fu_times = take(W)
     imu_rpy = take(3)
     imu_rpy_ok = take(1)[0] > 0.5
     gps_has = take(1)[0] > 0.5
@@ -607,7 +644,7 @@ def _unpack_frame(buf: jax.Array, S: int, W: int):
     ext_t_pre = take(1)[0]
     return (
         xyz, rel_t, mask, scan_start, dk_times, dk_gyr, dk_mask,
-        fu_acc, fu_gyr, fu_dts, fu_mask, imu_rpy, imu_rpy_ok,
+        fu_acc, fu_gyr, fu_dts, fu_mask, fu_times, imu_rpy, imu_rpy_ok,
         gps_has, gps_enu, gps_sigma, do_loop, ext_has, ext_t_cur, ext_t_pre,
     )
 
@@ -638,7 +675,8 @@ def make_initial_state(
         jnp.asarray(np.float32(scan_start)),
         jnp.asarray(dk_times), jnp.asarray(dk_gyr), jnp.asarray(dk_mask),
         jnp.asarray(init_pose, dtype=jnp.float32),
-        (cfg.kf_capacity, cfg.traj_capacity, cfg.gps_capacity, cfg.loop_capacity), params,
+        (cfg.kf_capacity, cfg.traj_capacity, cfg.gps_capacity,
+         cfg.loop_capacity, cfg.imu_rate_capacity), params,
     )
 
 
@@ -647,7 +685,7 @@ def _bootstrap_impl(
     xyz, rel_t, mask, scan_start, dk_times, dk_gyr, dk_mask, init_pose,
     caps, params: ResidentParams,
 ) -> ResidentState:
-    K, T, G, L = caps
+    K, T, G, L, TI = caps
     fp = params.frame
     C = params.kf_cloud_cap
 
@@ -710,12 +748,14 @@ def _bootstrap_impl(
         grid=grid,
         traj=jnp.zeros((T, 10), jnp.float32).at[0].set(entry),
         traj_count=jnp.asarray(1, jnp.int32),
+        imu_traj=jnp.zeros((TI, 8), jnp.float32),
+        imu_count=jnp.asarray(0, jnp.int32),
     )
 
 
 def _grown_state(
     st: ResidentState, grow_kf: bool, grow_traj: bool, grow_gps: bool,
-    grow_loop: bool,
+    grow_loop: bool, grow_imu: bool = False,
 ) -> ResidentState:
     """Capacity-doubled copy of `st` along the flagged rings (pure)."""
     eye = np.eye(3, dtype=np.float32)
@@ -755,6 +795,8 @@ def _grown_state(
             l_tm=pad(st.l_tm), l_sqrt=pad(st.l_sqrt, 1.0),
             l_cauchy=pad(st.l_cauchy),
         )
+    if grow_imu:
+        upd.update(imu_traj=pad(st.imu_traj))
     return st._replace(**upd)
 
 
@@ -764,10 +806,13 @@ class ResidentPipeline(LiorfPipeline):
     Same input API as LiorfPipeline; per-frame results stay on device.
     ``process_scan`` returns a stamp-only FrameResult; call
     ``trajectory_arrays()`` / ``save_tum()`` / ``sync_store()`` after the
-    run (each triggers the one end-of-run pull). ``imu_rate_poses`` (the
-    live TransformFusion stream) needs the fusion filter on the host, so
+    run (each triggers the one end-of-run pull). The IMU-rate odometry
+    stream (TransformFusion parity) is recorded in-graph per frame and
+    read back with ``imu_rate_trajectory()``; the *live* per-sample
+    ``imu_rate_poses`` prediction needs the fusion filter on the host, so
     mid-run it returns empty here — use ``LiorfPipeline`` when a consumer
-    needs live IMU-rate odometry; after ``sync()`` it works here too."""
+    needs live low-latency IMU-rate odometry; after ``sync()`` it works
+    here too."""
 
     def __init__(self, cfg):
         super().__init__(cfg)
@@ -809,6 +854,7 @@ class ResidentPipeline(LiorfPipeline):
         self._l_known = (0, 0)  # (count, loop flags)
         self._gps_feeds = 0
         self._loop_flags = 0
+        self._imu_feeds = 0  # exact IMU-rate ring count (samples shipped)
         # external loop-closure candidates (loopInfoHandler parity: a
         # bounded deque of (t_cur, t_pre) stamp pairs, newest-5 kept;
         # mapOptmization.cpp:530-541)
@@ -834,6 +880,9 @@ class ResidentPipeline(LiorfPipeline):
         self._l_known = (int(state.l_count), 0)
         self._gps_feeds = 0
         self._loop_flags = 0
+        # the IMU-rate ring count is tracked exactly on the host (the
+        # device advances it by the number of masked samples shipped)
+        self._imu_feeds = int(state.imu_count)
 
     def _maybe_grow_rings(self):
         """Grow any device ring whose host-side count bound nears capacity
@@ -852,8 +901,11 @@ class ResidentPipeline(LiorfPipeline):
         st = self.state
         K, T = st.kf_poses.shape[0], st.traj.shape[0]
         G, L = st.g_i.shape[0], st.l_i.shape[0]
+        TI = st.imu_traj.shape[0]
         m = 2
         grow_traj = self.frame_idx >= T - m  # exact, no pull needed
+        # the IMU ring must keep a full window W of writable tail
+        grow_imu = self._imu_feeds >= TI - (m + 2) * self.cfg.imu_window
         grow_kf = grow_gps = grow_loop = False
         kf_bound = self._kf_known[0] + (self.frame_idx - self._kf_known[1])
         g_bound = self._g_known[0] + (self._gps_feeds - self._g_known[1])
@@ -867,8 +919,8 @@ class ResidentPipeline(LiorfPipeline):
             grow_kf = kf_n >= K - m
             grow_gps = g_n >= G - m
             grow_loop = l_n >= L - m
-        if grow_kf or grow_traj or grow_gps or grow_loop:
-            self._grow_rings(grow_kf, grow_traj, grow_gps, grow_loop)
+        if grow_kf or grow_traj or grow_gps or grow_loop or grow_imu:
+            self._grow_rings(grow_kf, grow_traj, grow_gps, grow_loop, grow_imu)
         else:
             self._maybe_precompile_growth(kf_bound, g_bound, l_bound)
 
@@ -887,15 +939,17 @@ class ResidentPipeline(LiorfPipeline):
         st = self.state
         K, T = st.kf_poses.shape[0], st.traj.shape[0]
         G, L = st.g_i.shape[0], st.l_i.shape[0]
+        TI = st.imu_traj.shape[0]
         pred = (
             kf_bound >= (3 * K) // 4,
             self.frame_idx >= (3 * T) // 4,
             g_bound >= (3 * G) // 4,
             l_bound >= (3 * L) // 4,
+            self._imu_feeds >= (3 * TI) // 4,
         )
         if not any(pred):
             return
-        key = (pred, K, T, G, L)
+        key = (pred, K, T, G, L, TI)
         if key in self._precompiled_keys:
             return
         if self._precompile_thread is not None and self._precompile_thread.is_alive():
@@ -940,19 +994,20 @@ class ResidentPipeline(LiorfPipeline):
         t.start()
         self._precompile_thread = t
 
-    def _grow_rings(self, grow_kf, grow_traj, grow_gps, grow_loop):
+    def _grow_rings(self, grow_kf, grow_traj, grow_gps, grow_loop,
+                    grow_imu=False):
         self.state = _grown_state(
-            self.state, grow_kf, grow_traj, grow_gps, grow_loop
+            self.state, grow_kf, grow_traj, grow_gps, grow_loop, grow_imu
         )
         if self.cfg.gc_low_latency:
             self._gc_quiesce_at = self.frame_idx + 4
         import logging
 
         logging.getLogger("liorf_tpu").warning(
-            "device rings grown (kf=%s traj=%s gps=%s loop=%s) -> "
+            "device rings grown (kf=%s traj=%s gps=%s loop=%s imu=%s) -> "
             "kf_capacity=%d; the next frame recompiles for the new shapes. "
             "Set capacities in SlamConfig upfront to avoid this.",
-            grow_kf, grow_traj, grow_gps, grow_loop,
+            grow_kf, grow_traj, grow_gps, grow_loop, grow_imu,
             self.state.kf_poses.shape[0],
         )
 
@@ -998,9 +1053,10 @@ class ResidentPipeline(LiorfPipeline):
                 dk_t, dk_gyr, dk_m, init_pose.astype(np.float32),
             )
         else:
-            _, fu_acc, fu_gyr, fu_dts, fu_m, _ = self._imu_window(
+            fu_t, fu_acc, fu_gyr, fu_dts, fu_m, fu_n = self._imu_window(
                 self.last_scan_stamp, t0, cfg.imu_window
             )
+            self._imu_feeds += fu_n  # exact IMU-rate ring advance
             gps_has, gps_enu, gps_sigma = self._gps_candidate(t0)
             do_loop = (
                 self.cfg.loopClosureEnableFlag
@@ -1059,6 +1115,7 @@ class ResidentPipeline(LiorfPipeline):
             put(fu_gyr.ravel(), 3 * W)
             put(fu_dts, W)
             put(fu_m, W)
+            put(fu_t, W)
             put(rpy_np, 3)
             put(float(imu_rpy_ok), 1)
             put(float(gps_has), 1)
@@ -1216,6 +1273,31 @@ class ResidentPipeline(LiorfPipeline):
         self.store.sc_descs[:n_kf] = descs
         self.store.sc_keys[:n_kf] = keys
         self.store.invalidate_device()
+
+    def imu_rate_trajectory(self):
+        """The recorded IMU-rate odometry stream (times [N], poses [N, 6]).
+
+        The device ring holds one pose per IMU sample between consecutive
+        scans — the reference's ``odometry/imu`` output (TransformFusion ∘
+        imuHandler, imuPreintegration.cpp:23-154,458-506): the latest
+        lidar-corrected fused state re-propagated through the IMU queue.
+        ONE device pull; call after the run (or accept the tunnel cost)."""
+        if self.state is None:
+            return np.zeros(0), np.zeros((0, 6), np.float32)
+        st = self.state
+        packed = np.asarray(
+            jnp.concatenate(
+                [st.imu_traj.reshape(-1), st.imu_count.astype(jnp.float32)[None]]
+            )
+        )
+        TI = st.imu_traj.shape[0]
+        n = int(packed[-1])
+        block = packed[: TI * 8].reshape(TI, 8)[:n]
+        valid = block[:, 7] > 0.5
+        base = self._time_base_val or 0.0
+        times = block[valid, 0].astype(np.float64) + base
+        poses = block[valid, 1:7].astype(np.float32)
+        return times, poses
 
     def trajectory_arrays(self):
         self.sync()

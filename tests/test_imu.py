@@ -223,3 +223,35 @@ def test_parallel_preintegration_matches_sequential(rng):
                 np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
                 err_msg=f"{name} mismatch at K={K} n={n_valid}",
             )
+
+
+def test_parallel_predict_poses_matches_sequential(rng):
+    """predict_poses_parallel (associative-scan form used by the resident
+    pipeline's IMU-rate ring) must reproduce the sequential integrator on
+    masked windows, including a biased state and nonzero velocity."""
+    for K, n_valid in [(64, 64), (64, 23), (16, 1), (4, 0)]:
+        st = fusion.FusionState(
+            R=jnp.asarray(
+                np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+            ),
+            p=jnp.asarray(rng.normal(size=3).astype(np.float32)),
+            v=jnp.asarray(rng.normal(size=3).astype(np.float32)),
+            ba=jnp.asarray([0.02, -0.01, 0.03], jnp.float32),
+            bg=jnp.asarray([-0.004, 0.002, 0.001], jnp.float32),
+        )
+        acc = rng.normal(0.0, 0.5, (K, 3)).astype(np.float32) + np.array(
+            [0.1, -0.2, 9.8], np.float32
+        )
+        gyr = rng.normal(0.0, 0.3, (K, 3)).astype(np.float32)
+        dts = rng.uniform(0.002, 0.01, K).astype(np.float32)
+        mask = np.arange(K) < n_valid
+        Rs_s, ps_s = fusion.predict_poses(st, acc, gyr, dts, mask)
+        Rs_p, ps_p = fusion.predict_poses_parallel(st, acc, gyr, dts, mask)
+        np.testing.assert_allclose(
+            np.asarray(Rs_p), np.asarray(Rs_s), rtol=1e-5, atol=1e-5,
+            err_msg=f"R mismatch at K={K} n={n_valid}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ps_p), np.asarray(ps_s), rtol=1e-4, atol=1e-5,
+            err_msg=f"p mismatch at K={K} n={n_valid}",
+        )

@@ -279,3 +279,26 @@ def test_growth_precompile_warms_cache():
     assert grown_cache_hit, "growth retraced despite the precompile"
     _, poses = pipe.trajectory_arrays()
     assert len(poses) == 20 and np.isfinite(poses).all()
+
+
+def test_resident_imu_rate_trajectory(syn, small_cfg):
+    """The in-graph IMU-rate odometry ring (TransformFusion parity): one
+    pose per IMU sample between scans, stamped, finite, and consistent
+    with the scan-rate trajectory (each scan's pose should be close to the
+    IMU-rate poses recorded just before/after it)."""
+    n = 10
+    pipe = _run(ResidentPipeline, syn, small_cfg, n)
+    it, ip = pipe.imu_rate_trajectory()
+    st_times, st_poses = pipe.trajectory_arrays()
+    # ~100 Hz IMU over (n-1) 10 Hz frames -> roughly 10 samples per frame
+    assert len(it) >= 5 * (n - 2), f"too few IMU-rate poses: {len(it)}"
+    assert np.isfinite(ip).all()
+    assert (np.diff(it) >= 0).all(), "IMU-rate stamps must be non-decreasing"
+    # stamps span the scan window
+    assert it[0] >= st_times[0] - 0.2 and it[-1] <= st_times[-1] + 0.2
+    # each interior scan pose has an IMU-rate pose within 50 ms and 0.5 m
+    for k in range(2, n - 1):
+        j = np.argmin(np.abs(it - st_times[k]))
+        assert abs(it[j] - st_times[k]) < 0.05
+        d = np.linalg.norm(ip[j, 3:6] - st_poses[k, 3:6])
+        assert d < 0.5, f"IMU-rate pose {d:.3f} m from scan pose at frame {k}"
