@@ -563,11 +563,15 @@ def resident_step(
         jnp.linalg.norm(rel[3:]) > fp.kf_dist
     )
 
-    desc = scancontext.make_descriptor(deskewed, mask)
-    key = scancontext.ring_key(desc)
     now = scan_start
 
     def kf_branch(st):
+        # ScanContext descriptor only exists per keyframe (the reference
+        # computes it in saveKeyFramesAndFactor, mapOptmization.cpp:1587-
+        # 1595) — computing it inside the cond branch skips the scatter-max
+        # over the raw cloud on every non-keyframe frame
+        desc = scancontext.make_descriptor(deskewed, mask)
+        key = scancontext.ring_key(desc)
         new_st, new_pose = _insert_keyframe(
             st, params, pose, now, ds_xyz, ds_mask, desc, key,
             gps_has, gps_enu, gps_sigma, do_loop, ext_has, ext_t_cur, ext_t_pre,
