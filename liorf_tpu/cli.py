@@ -270,16 +270,38 @@ def cmd_optimize(args):
 
 
 def cmd_eval(args):
-    from .eval.metrics import ate_rmse, load_tum, rpe_rmse
+    """evo-equivalent trajectory evaluation: timestamp-associated pairs,
+    SE(3) APE (trans + rot) and SE(3) RPE (trans + rot) — the metrics
+    behind the reference's demo/kitti05_{ape,rpe}.png plots."""
+    from .eval.metrics import (
+        associate,
+        ate_rmse,
+        ate_rot_rmse_deg,
+        load_tum,
+        rpe_se3,
+    )
 
-    _, est, _ = load_tum(args.est)
-    _, gt, _ = load_tum(args.gt)
-    n = min(len(est), len(gt))
+    t_est, est, q_est = load_tum(args.est)
+    t_gt, gt, q_gt = load_tum(args.gt)
+    ia, ib = associate(t_est, t_gt, max_diff=args.t_max_diff)
+    est, q_est = est[ia], q_est[ia]
+    gt, q_gt = gt[ib], q_gt[ib]
+    n = len(ia)
+    if n < 2:
+        raise SystemExit(
+            f"only {n} associated pose pairs (t_max_diff={args.t_max_diff}); "
+            "check the trajectories share a clock"
+        )
+    rpe_t, rpe_r = rpe_se3(est, q_est, gt, q_gt, delta=args.delta)
     print(
         json.dumps(
             dict(
-                ate_rmse=round(ate_rmse(est[:n], gt[:n]), 4),
-                rpe_rmse=round(rpe_rmse(est[:n], gt[:n], delta=args.delta), 4),
+                ate_rmse=round(ate_rmse(est, gt), 4),
+                ate_rot_rmse_deg=round(
+                    ate_rot_rmse_deg(est, q_est, gt, q_gt), 4
+                ),
+                rpe_rmse=round(rpe_t, 4),
+                rpe_rot_rmse_deg=round(rpe_r, 4),
                 frames=n,
             )
         )
@@ -336,6 +358,10 @@ def main(argv=None):
     e.add_argument("--est", required=True)
     e.add_argument("--gt", required=True)
     e.add_argument("--delta", type=int, default=10)
+    e.add_argument(
+        "--t-max-diff", type=float, default=0.02,
+        help="max timestamp difference for pose association (s)",
+    )
     e.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)

@@ -101,6 +101,24 @@ def rot_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
     return out[0] if single else out.reshape(R.shape[:-2] + (4,))
 
 
+def quat_wxyz_to_rot(q: np.ndarray) -> np.ndarray:
+    """(…,4) unit quaternion (w,x,y,z) -> (…,3,3) rotation matrix (batched)."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3))
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
 def so3_log(R: np.ndarray) -> np.ndarray:
     """Rotation matrix -> axis-angle vector (host-side; matches se3.so3_log).
 

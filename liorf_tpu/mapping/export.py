@@ -23,6 +23,16 @@ from ..core.pointcloud import make_cloud
 from ..core.voxel import voxel_downsample
 from ..utils.pcdio import save_pcd
 
+# Defaults for ResidentState fields added AFTER a checkpoint was written
+# (resident-v2 stores the state as a field dict precisely so new fields
+# can be filled here instead of breaking unpickling). Keyed by field name;
+# each default takes the pipeline config.
+_RESIDENT_FIELD_DEFAULTS = {
+    "imu_traj": lambda cfg: np.zeros((cfg.imu_rate_capacity, 8), np.float32),
+    "imu_count": lambda cfg: np.asarray(0, np.int32),
+    "pending_loop": lambda cfg: np.asarray(False),
+}
+
 
 def global_map_points(store, max_points_per_kf: int | None = None) -> np.ndarray:
     """All keyframe clouds fused in the world frame -> [N, 4] xyzi."""
@@ -98,9 +108,14 @@ def save_checkpoint(pipeline, path: str):
         import jax
 
         state_np = jax.tree_util.tree_map(np.asarray, pipeline.state)
+        # v2: the state is stored as a {field: value} dict rather than a
+        # pickled ResidentState NamedTuple, so checkpoints survive fields
+        # being ADDED to ResidentState later (missing fields are filled
+        # with defaults on load instead of failing inside pickle with an
+        # opaque constructor TypeError).
         payload = dict(
-            format="resident-v1",
-            state=state_np,
+            format="resident-v2",
+            state=dict(state_np._asdict()),
             stamps=list(getattr(pipeline, "_stamps", [])),
             time_base=pipeline._time_base_val,
             frame_idx=pipeline.frame_idx,
@@ -148,21 +163,53 @@ def load_checkpoint(pipeline, path: str):
     from ..imu.fusion import FusionFilter, FusionState
     from ..pipeline.slam import FrameResult
 
-    with open(path, "rb") as f:
-        state = pickle.load(f)
+    try:
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+    except TypeError as e:
+        # resident-v1 checkpoints pickled the ResidentState NamedTuple
+        # directly; if the tuple layout changed since the checkpoint was
+        # written, unpickling raises an opaque constructor TypeError here.
+        raise ValueError(
+            f"checkpoint {path!r} was written by an older liorf_tpu version "
+            "whose ResidentState layout no longer matches (resident-v1 "
+            "pickled the state tuple directly). Re-create the checkpoint "
+            "with this version, or load it with the version that wrote it."
+        ) from e
 
-    if isinstance(state, dict) and state.get("format") == "resident-v1":
+    if isinstance(state, dict) and state.get("format") in (
+        "resident-v1", "resident-v2",
+    ):
         import jax
+
+        from ..pipeline.resident import ResidentState
 
         if not hasattr(pipeline, "sync"):  # ResidentPipeline only
             raise ValueError(
-                "resident-v1 checkpoint requires a ResidentPipeline "
+                f"{state['format']} checkpoint requires a ResidentPipeline "
                 "(make_pipeline(cfg))"
             )
-        pipeline.state = jax.tree_util.tree_map(jnp.asarray, state["state"])
+        saved = state["state"]
+        if isinstance(saved, dict):  # v2 field-dict layout
+            extra = set(saved) - set(ResidentState._fields)
+            missing = set(ResidentState._fields) - set(saved)
+            unfillable = missing - set(_RESIDENT_FIELD_DEFAULTS)
+            if unfillable:
+                raise ValueError(
+                    f"checkpoint {path!r} lacks ResidentState fields "
+                    f"{sorted(unfillable)} with no known default — it was "
+                    "written by an incompatible liorf_tpu version."
+                )
+            fields = {k: v for k, v in saved.items() if k not in extra}
+            for name in missing:
+                fields[name] = _RESIDENT_FIELD_DEFAULTS[name](pipeline.cfg)
+            restored = ResidentState(**fields)
+        else:  # v1: the NamedTuple itself (layout already validated by load)
+            restored = saved
+        pipeline.state = jax.tree_util.tree_map(jnp.asarray, restored)
         # seed the host-side ring-count bounds from the snapshot so growth
         # checks stay exact after resume (invariant owned by ResidentPipeline)
-        pipeline.seed_ring_bounds(state["state"], int(state["frame_idx"]))
+        pipeline.seed_ring_bounds(restored, int(state["frame_idx"]))
         pipeline._stamps = list(state["stamps"])
         pipeline._time_base_val = state["time_base"]
         pipeline.frame_idx = state["frame_idx"]

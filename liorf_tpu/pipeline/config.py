@@ -50,6 +50,9 @@ class SlamConfig:
     point_filter_num: int = 3
     lidarMinRange: float = 1.0
     lidarMaxRange: float = 1000.0
+    # gyro motion compensation (imageProjection deskewPoint); off = feed the
+    # raw sweep to registration — only for deskew-efficacy stress tests
+    deskewEnabled: bool = True
 
     # IMU
     imuType: int = 0  # 0: 6-axis, 1: 9-axis

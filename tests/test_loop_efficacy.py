@@ -78,3 +78,72 @@ def test_loop_closure_reduces_drift():
         f"loop closure made ATE worse: {ate_on:.3f} vs {ate_off:.3f}"
     )
     assert ate_on < 1.0, f"loop-closed ATE too large: {ate_on:.3f} m"
+
+
+def test_loop_tick_latched_across_nonkeyframe():
+    """A do_loop cadence tick that lands on a NON-keyframe frame must not
+    be lost: the in-graph pending_loop latch holds it until the next
+    keyframe consumes it, mirroring the reference's loop thread which
+    always inspects the latest keyframe at 1 Hz regardless of when it was
+    added (mapOptmization.cpp:515-542). VERDICT r2 weak #4."""
+    syn = SyntheticDataset(
+        SyntheticConfig(
+            n_frames=N_FRAMES, n_rings=16, points_per_ring=360,
+            speed=3.0, yaw_rate=1.2,
+            gyro_bias=(0.01, -0.008, 0.015),
+            accel_noise=0.08, gyro_noise=0.01,
+        )
+    )
+    cfg = _cfg(True)
+    # disable the automatic cadence: every loop search in this test comes
+    # from an explicit trigger_loop_search() tick
+    cfg.loopClosureFrequency = 0.01
+
+    # pass 1: find the keyframe pattern (deterministic given data+config)
+    pipe = ResidentPipeline(cfg)
+    imu = syn.imu_stream()
+    ii = 0
+    for f in range(N_FRAMES):
+        scan = syn.scan(f)
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        pipe.process_scan(scan)
+    pipe.block()
+    traj = np.asarray(pipe.state.traj)[: int(np.asarray(pipe.state.traj_count))]
+    is_kf = traj[:, 6] > 0.5
+    assert int(np.asarray(pipe.state.l_count)) == 0, "no ticks -> no loops"
+    # pick a non-keyframe frame in the revisit region (second half) that
+    # has a later keyframe after it
+    cand = [
+        f for f in range(N_FRAMES // 2, N_FRAMES - 1)
+        if not is_kf[f] and is_kf[f + 1 :].any()
+    ]
+    assert cand, "keyframe gate fired on every frame; loosen kf thresholds"
+    tick_frame = cand[0]
+
+    # pass 2: tick exactly once, on that non-keyframe frame
+    pipe = ResidentPipeline(cfg)
+    imu = syn.imu_stream()
+    ii = 0
+    for f in range(N_FRAMES):
+        scan = syn.scan(f)
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        if f == tick_frame:
+            pipe.trigger_loop_search()
+        pipe.process_scan(scan)
+        pipe.block()
+        if f == tick_frame:
+            # tick missed the keyframe gate -> latched, not lost
+            assert bool(np.asarray(pipe.state.pending_loop)), (
+                f"tick on non-keyframe frame {f} was dropped"
+            )
+            assert int(np.asarray(pipe.state.l_count)) == 0
+    # by end of run a later keyframe consumed the latch...
+    assert not bool(np.asarray(pipe.state.pending_loop))
+    # ...and the loop search actually ran and landed the factor
+    assert int(np.asarray(pipe.state.l_count)) >= 1, (
+        "latched tick never produced a loop factor"
+    )
