@@ -92,21 +92,43 @@ def _dataset(n_frames: int, rings: int, ppr: int):
     return scans, imu, gt
 
 
-def _run_throughput(PipeCls, cfg, scans, imu, warmup):
-    """Feed the full sequence, return (pipe, scans_per_sec). No device pulls."""
+def _run_throughput(PipeCls, cfg, scans, imu, warmup, chunk=None):
+    """Feed the full sequence, return (pipe, scans_per_sec[, chunk_rates]).
+
+    No device pulls. With ``chunk`` set, also records per-chunk rates
+    (one block per chunk — a sync point, so only use it for endurance
+    passes where growth/compile stalls must be separable from the
+    steady-state rate)."""
     pipe = PipeCls(cfg)
     ii = 0
     t_start = None
+    t_chunk = None
+    rates = []
     for f, scan in enumerate(scans):
         while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
             pipe.push_imu(imu[ii])
             ii += 1
         if f == warmup:
-            t_start = time.perf_counter()
+            t_start = t_chunk = time.perf_counter()
         pipe.process_scan(scan)
-    pipe.block()  # drain the async dispatch queue; block_until_ready is NOT a pull
+        if chunk and f >= warmup and (f - warmup) % chunk == chunk - 1:
+            pipe.block()
+            now = time.perf_counter()
+            rates.append(chunk / (now - t_chunk))
+            t_chunk = now
+    # finish(): drains the async queue AND joins any in-flight growth
+    # precompile so its executable lands in the persistent cache (a
+    # daemon-thread compile killed at process exit is compiled in vain,
+    # and the next session pays it again)
+    if hasattr(pipe, "finish"):
+        pipe.finish()
+    else:
+        pipe.block()
     elapsed = time.perf_counter() - t_start
-    return pipe, (len(scans) - warmup) / elapsed
+    sps = (len(scans) - warmup) / elapsed
+    if chunk:
+        return pipe, sps, rates
+    return pipe, sps
 
 
 def main():
@@ -210,7 +232,7 @@ def main():
     # end-to-end on the real chip; VERDICT r2 missing #2c). Runs AFTER the
     # latency pass: its optional ATE needs a device->host pull, which
     # permanently degrades later dispatch latency. ----------------------
-    if os.environ.get("BENCH_LONG", "1") == "1" and _time_left(deadline) > 300:
+    if os.environ.get("BENCH_LONG", "1") == "1" and _time_left(deadline) > 420:
         try:
             long_scans, long_imu, long_gt = _dataset(512, 16, 720)
             long_cfg = SlamConfig(
@@ -225,13 +247,22 @@ def main():
                 mappingSurfLeafSize=0.3,
                 surroundingKeyframeMapLeafSize=0.3,
                 loopClosureEnableFlag=True,
-                kf_capacity=128,   # ~200 keyframes over the run -> 1 growth
+                kf_capacity=128,   # ~200 keyframes over the run -> growth
                 traj_capacity=256,  # 512 frames -> 2 growths
+                # over the tunnel, ONE mid-run count pull degrades every
+                # later dispatch to ~0.5 s; grow on host bounds instead
+                pull_free_growth=True,
             )
-            long_pipe, long_sps = _run_throughput(
-                ResidentPipeline, long_cfg, long_scans, long_imu, 12)
+            long_pipe, long_sps, long_rates = _run_throughput(
+                ResidentPipeline, long_cfg, long_scans, long_imu, 12, chunk=16)
             extras["long_frames"] = len(long_scans)
+            # raw mean includes the growth-retrace compile stalls (large on
+            # the tunneled TPU where compiles serialize with dispatch and
+            # run for minutes when the persistent cache is cold); the
+            # chunk-median is the steady-state rate between growths
             extras["long_scans_per_sec"] = round(long_sps, 3)
+            extras["long_steady_scans_per_sec"] = round(
+                float(np.median(long_rates)), 3) if long_rates else None
             extras["long_ring_growths"] = int(long_pipe.growth_events)
             if "cpu" in str(jax.devices()[0]).lower() or _time_left(deadline) > 500:
                 from liorf_tpu.eval.metrics import ate_rmse as _ate
@@ -239,6 +270,8 @@ def main():
                 _, lp = long_pipe.trajectory_arrays()
                 extras["long_ate_rmse_m"] = round(
                     float(_ate(lp[:, 3:6], long_gt[: len(lp)])), 4)
+                extras["long_loops"] = int(
+                    np.asarray(long_pipe.state.l_count))
         except Exception as e:  # noqa: BLE001
             extras["long_error"] = repr(e)[:200]
 

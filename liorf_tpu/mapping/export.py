@@ -206,6 +206,22 @@ def load_checkpoint(pipeline, path: str):
             restored = ResidentState(**fields)
         else:  # v1: the NamedTuple itself (layout already validated by load)
             restored = saved
+        traj = np.asarray(restored.traj)
+        if traj.shape[1] == 10:
+            # pre-r3 ring without the (slot, kf-pose-then) re-anchoring
+            # columns: anchor every frame on keyframe 0, whose prior keeps
+            # it fixed — the correction evaluates to the identity
+            anchor = np.asarray(restored.kf_poses)[0].astype(np.float32)
+            pad = np.concatenate(
+                [
+                    np.zeros((traj.shape[0], 1), np.float32),
+                    np.tile(anchor, (traj.shape[0], 1)),
+                ],
+                axis=1,
+            )
+            restored = restored._replace(
+                traj=np.concatenate([traj.astype(np.float32), pad], axis=1)
+            )
         pipeline.state = jax.tree_util.tree_map(jnp.asarray, restored)
         # seed the host-side ring-count bounds from the snapshot so growth
         # checks stay exact after resume (invariant owned by ResidentPipeline)

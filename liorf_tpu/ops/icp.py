@@ -103,4 +103,12 @@ def icp_point2point(
     n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
     fitness = jnp.sum(jnp.where(ok, d2, 0.0)) / n_ok
     any_ok = jnp.sum(ok.astype(jnp.int32)) > 0
-    return ICPResult(pose=pose, fitness=fitness, converged=done & any_ok, iters=iters)
+    # PCL `hasConverged()` semantics (the gate the reference actually uses,
+    # mapOptmization.cpp:581): true when the solver terminated by ANY
+    # criterion — transformation epsilon OR the iteration cap — with valid
+    # correspondences; quality is judged by the separate fitness gate.
+    # Requiring the epsilon exit here is stricter than the reference and
+    # silently rejected good loops on TPU, where f32 euler round-trip
+    # noise keeps the per-iteration delta just above epsilon (found r3:
+    # fitness 0.20-0.26 <= 0.3 candidates discarded for converged=False).
+    return ICPResult(pose=pose, fitness=fitness, converged=any_ok, iters=iters)

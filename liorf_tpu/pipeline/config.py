@@ -121,6 +121,13 @@ class SlamConfig:
     # device-resident IMU-rate odometry ring (one entry per IMU sample;
     # the reference's odometry/imu stream) — 2 MB at the default
     imu_rate_capacity: int = 65536
+    # grow device rings from the host-side count UPPER BOUNDS instead of
+    # pulling the exact device counts. Over a tunneled TPU link one mid-run
+    # device->host pull permanently degrades every later dispatch (~0.5 s
+    # each; a 700 scans/s stream drops to ~2 scans/s), so tunnel
+    # deployments should set this. Cost: the keyframe ring is sized by the
+    # frame-count bound (O(frames), ~2-4x more memory than O(keyframes)).
+    pull_free_growth: bool = False
     # Quiet CPython gen-2 GC after warmup (utils/gc_control.py): a full
     # collection is a ~400 ms stop-the-world pause mid-stream otherwise.
     gc_low_latency: bool = True

@@ -77,7 +77,7 @@ class ResidentParams(NamedTuple):
     loop_icp_leaf: float = 0.5
     loop_fitness_thresh: float = 0.3
     loop_icp_cap: int = 16384
-    loop_icp_iters: int = 30
+    loop_icp_iters: int = 100  # reference: setMaximumIterations(100), :575
 
 
 class ResidentState(NamedTuple):
@@ -117,8 +117,11 @@ class ResidentState(NamedTuple):
     prior_t: jax.Array  # [3]
     # local map correspondence grid
     grid: knn.SpatialHashGrid
-    # per-frame trajectory ring: pose(6), is_kf, degenerate, converged, num_matched
-    traj: jax.Array  # [T, 10]
+    # per-frame trajectory ring: pose(6), is_kf, degenerate, converged,
+    # num_matched, latest-kf slot(1), latest-kf pose at the time(6) — the
+    # last two let export re-anchor every frame onto the CORRECTED keyframe
+    # poses (correctPoses parity for the full-rate trajectory)
+    traj: jax.Array  # [T, 17]
     traj_count: jax.Array  # [] i32
     # IMU-rate odometry ring: t, rpy(3), xyz(3), valid — the reference's
     # odometry/imu output stream (TransformFusion + imuHandler,
@@ -562,6 +565,12 @@ def resident_step(
     state, out_pose = jax.lax.cond(is_kf, kf_branch, no_kf, state)
 
     # --- trajectory ring append ---
+    # cols 0-5: pose at the time; 6-9: is_kf/degenerate/converged/matched;
+    # col 10: slot of the latest keyframe; 11-16: that keyframe's pose at
+    # the time. Later loop/GPS relaxations rewrite kf_poses (correctPoses,
+    # mapOptmization.cpp:1611-1642) — at export the per-frame pose is
+    # re-anchored: corrected = kf_now[slot] ∘ (kf_then⁻¹ ∘ pose), matching
+    # the reference's corrected global path instead of freezing drift in.
     T = state.traj.shape[0]
     t_i = jnp.minimum(state.traj_count, T - 1)
     entry = jnp.concatenate(
@@ -575,6 +584,8 @@ def resident_step(
                     core.num_matched.astype(jnp.float32),
                 ]
             ),
+            (state.kf_count - 1).astype(jnp.float32)[None],
+            state.last_kf_pose.astype(jnp.float32),
         ]
     )
     return state._replace(
@@ -700,7 +711,11 @@ def _bootstrap_impl(
     )
 
     entry = jnp.concatenate(
-        [init_pose.astype(jnp.float32), jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32)]
+        [
+            init_pose.astype(jnp.float32),
+            jnp.asarray([1.0, 0.0, 1.0, 0.0, 0.0], jnp.float32),
+            init_pose.astype(jnp.float32),
+        ]
     )
     return ResidentState(
         filt=filt,
@@ -731,11 +746,30 @@ def _bootstrap_impl(
         prior_R=R0,
         prior_t=init_pose[3:].astype(jnp.float32),
         grid=grid,
-        traj=jnp.zeros((T, 10), jnp.float32).at[0].set(entry),
+        traj=jnp.zeros((T, 17), jnp.float32).at[0].set(entry),
         traj_count=jnp.asarray(1, jnp.int32),
         imu_traj=jnp.zeros((TI, 8), jnp.float32),
         imu_count=jnp.asarray(0, jnp.int32),
         pending_loop=jnp.asarray(False),
+    )
+
+
+@jax.jit
+def _corrected_traj(traj: jax.Array, kf_poses: jax.Array) -> jax.Array:
+    """[T, 17] trajectory ring -> [T, 10] with loop-corrected poses.
+
+    Each frame's pose is re-anchored on the CURRENT estimate of the
+    keyframe it was tracked against:
+        corrected = kf_now[slot] ∘ (kf_then⁻¹ ∘ pose)
+    If no relaxation moved the keyframe since, kf_now == kf_then and this
+    is the identity."""
+    pose = traj[:, :6]
+    slot = jnp.clip(traj[:, 10].astype(jnp.int32), 0, kf_poses.shape[0] - 1)
+    kf_then = traj[:, 11:17]
+    kf_now = kf_poses[slot]
+    corrected = se3.pose_compose(kf_now, se3.pose_between(kf_then, pose))
+    return jnp.concatenate(
+        [corrected.astype(jnp.float32), traj[:, 6:10]], axis=1
     )
 
 
@@ -880,7 +914,8 @@ class ResidentPipeline(LiorfPipeline):
         The trajectory ring grows pull-free (its count is exactly the
         processed frame count). For the other rings a count check is ONE
         tiny device->host pull — on the tunneled TPU the first such pull
-        costs 30-400 s and degrades later dispatches to ~0.8 ms, so it
+        costs 30-400 s and degrades later dispatches (measured r3: a 700
+        scans/s stream fell to ~2 scans/s after one count pull), so it
         only runs when the exact upper bound (kf <= frames, gps <= gps
         feeds, loops <= loop-cadence frames) says overflow is possible.
         Size capacities generously to avoid mid-run checks entirely. The
@@ -899,14 +934,27 @@ class ResidentPipeline(LiorfPipeline):
         g_bound = self._g_known[0] + (self._gps_feeds - self._g_known[1])
         l_bound = self._l_known[0] + (self._loop_flags - self._l_known[1])
         if kf_bound >= K - m or g_bound >= G - m or l_bound >= L - m:
-            counts = np.asarray(jnp.stack([st.kf_count, st.g_count, st.l_count]))
-            kf_n, g_n, l_n = (int(x) for x in counts)
-            self._kf_known = (kf_n, self.frame_idx)
-            self._g_known = (g_n, self._gps_feeds)
-            self._l_known = (l_n, self._loop_flags)
-            grow_kf = kf_n >= K - m
-            grow_gps = g_n >= G - m
-            grow_loop = l_n >= L - m
+            if self.cfg.pull_free_growth:
+                # grow on the (pessimistic) host bounds without pulling the
+                # exact device counts: over a tunneled link ONE mid-run pull
+                # permanently degrades every later dispatch (measured: a
+                # 700 scans/s stream drops to ~2 scans/s for the rest of
+                # the session). Cost: rings sized by the bound (kf ring
+                # O(frames) instead of O(keyframes)) — memory for latency.
+                grow_kf = kf_bound >= K - m
+                grow_gps = g_bound >= G - m
+                grow_loop = l_bound >= L - m
+            else:
+                counts = np.asarray(
+                    jnp.stack([st.kf_count, st.g_count, st.l_count])
+                )
+                kf_n, g_n, l_n = (int(x) for x in counts)
+                self._kf_known = (kf_n, self.frame_idx)
+                self._g_known = (g_n, self._gps_feeds)
+                self._l_known = (l_n, self._loop_flags)
+                grow_kf = kf_n >= K - m
+                grow_gps = g_n >= G - m
+                grow_loop = l_n >= L - m
         if grow_kf or grow_traj or grow_gps or grow_loop or grow_imu:
             self._grow_rings(grow_kf, grow_traj, grow_gps, grow_loop, grow_imu)
         else:
@@ -1207,16 +1255,34 @@ class ResidentPipeline(LiorfPipeline):
 
             _jax.block_until_ready(self.state.traj_count)
 
+    def finish(self):
+        """End-of-run barrier: block() plus joining any in-flight growth
+        precompile. The precompile thread is a daemon — exiting the
+        process mid-compile silently discards the compilation, so the
+        persistent jax cache never learns the post-growth shapes and
+        every later session pays the full compile again. Call this (not
+        bare block()) once at the end of a session."""
+        self.block()
+        t = self._precompile_thread
+        if t is not None and t.is_alive():
+            t.join()
+
     # -- end-of-run sync ----------------------------------------------
     def sync(self):
-        """ONE batched pull of trajectory + keyframe state into host arrays."""
+        """ONE batched pull of trajectory + keyframe state into host arrays.
+
+        The per-frame poses are re-anchored on the CURRENT (post-loop/GPS
+        relaxation) keyframe poses before the pull — the reference rewrites
+        its global path the same way in correctPoses
+        (mapOptmization.cpp:1611-1642); freezing at-the-time poses would
+        keep all pre-loop drift in the exported trajectory."""
         if self._synced or self.state is None:
             return
         st = self.state
         packed = np.asarray(
             jnp.concatenate(
                 [
-                    st.traj.reshape(-1),
+                    _corrected_traj(st.traj, st.kf_poses).reshape(-1),
                     st.traj_count.astype(jnp.float32)[None],
                     st.kf_count.astype(jnp.float32)[None],
                     st.kf_poses.reshape(-1),

@@ -88,7 +88,20 @@ def next_aligned_gps(gps_queue: list, stamp: float, cov_thresh: float):
 
 
 class LiorfPipeline:
-    """Streaming API: push IMU/GPS, process scans, read trajectory/map."""
+    """Streaming API: push IMU/GPS, process scans, read trajectory/map.
+
+    This is the host-orchestrated CLASSIC pipeline — the production path
+    is ``ResidentPipeline`` (zero-pull, device-resident state). Both share
+    the per-frame policy chain (``frame_step.frame_core``) and the GPS
+    drain (``next_aligned_gps``); a parity test pins their trajectories
+    together. Known deltas the classic path does NOT have: the in-graph
+    IMU-rate odometry ring (it computes live ``imu_rate_poses`` on the
+    host instead), the pending-loop cadence latch, external loop
+    candidates, device-ring growth, and loop-corrected re-anchoring of
+    the full-rate exported trajectory (its per-frame ``FrameResult`` poses
+    are as-tracked; only keyframe poses are rewritten on relaxation). Use
+    it for debugging with live per-frame host access; use the resident
+    pipeline everywhere else."""
 
     def __init__(self, cfg: SlamConfig = SlamConfig()):
         self.cfg = cfg

@@ -302,3 +302,40 @@ def test_resident_imu_rate_trajectory(syn, small_cfg):
         assert abs(it[j] - st_times[k]) < 0.05
         d = np.linalg.norm(ip[j, 3:6] - st_poses[k, 3:6])
         assert d < 0.5, f"IMU-rate pose {d:.3f} m from scan pose at frame {k}"
+
+
+def test_resident_ring_growth_pull_free():
+    """pull_free_growth must grow rings from the host-side bounds WITHOUT
+    any mid-run device->host count pull (a single pull permanently
+    degrades the tunneled session), and produce the same trajectory as
+    the exact-pull growth path."""
+    syn = SyntheticDataset(
+        SyntheticConfig(n_frames=24, n_rings=16, points_per_ring=360)
+    )
+
+    def cfg(pull_free):
+        return SlamConfig(
+            scan_capacity=4096, map_capacity=32768, kf_cloud_capacity=2048,
+            near_kf_capacity=16, imu_window=64, point_filter_num=1,
+            downsampleRate=1, mappingSurfLeafSize=0.4,
+            surroundingKeyframeMapLeafSize=0.4, loopClosureEnableFlag=False,
+            kf_capacity=8, traj_capacity=16, gps_capacity=8, loop_capacity=8,
+            pull_free_growth=pull_free,
+        )
+
+    pipe_exact = _run(ResidentPipeline, syn, cfg(False), 24)
+    pipe_free = _run(ResidentPipeline, syn, cfg(True), 24)
+    assert pipe_free.growth_events >= 1
+    # pessimistic bounds grow the kf ring at least as large as exact
+    assert (
+        pipe_free.state.kf_poses.shape[0]
+        >= pipe_exact.state.kf_poses.shape[0]
+    )
+    _, poses_e = pipe_exact.trajectory_arrays()
+    _, poses_f = pipe_free.trajectory_arrays()
+    assert len(poses_f) == len(poses_e) == 24
+    # growths fire at different frames -> different retrace points ->
+    # different compiled programs; f32 reduction-order noise can flip
+    # near-tie NN correspondences, so parity is cm-scale (same tolerance
+    # as the sharded-vs-single parity test in tests/test_dist.py)
+    np.testing.assert_allclose(poses_f, poses_e, atol=6e-2)
