@@ -41,7 +41,9 @@ def _kernel(q_ref, t_ref, pen_ref, out_d_ref, out_i_ref, *, k: int, tm: int):
     def chunk(c, carry):
         best_d, best_i = carry  # [TQ, k], [TQ, k]
         t = t_ref[pl.ds(c * tm, tm), :]  # [TM, 3]
-        pen = pen_ref[pl.ds(c * tm, tm)]  # [TM] 0 or BIG (masked/padded)
+        # penalty rides as [1, M]: a 1-D operand's block spec cannot lower
+        # under vmap batching (multistream pipeline), a [1, M] one can
+        pen = pen_ref[0, pl.ds(c * tm, tm)]  # [TM] 0 or BIG (masked/padded)
         cross = jax.lax.dot_general(
             q, t, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [TQ, TM] — MXU
@@ -179,7 +181,7 @@ def knn_bruteforce_pallas(
     q_pad = jnp.pad(queries, ((0, np_), (0, 0)))
     t_pad = jnp.pad(map_xyz, ((0, mp_), (0, 0)))
     pen = jnp.where(map_mask, 0.0, _BIG).astype(jnp.float32)
-    pen = jnp.pad(pen, (0, mp_), constant_values=_BIG)
+    pen = jnp.pad(pen, (0, mp_), constant_values=_BIG)[None, :]
 
     kern = functools.partial(_kernel, k=k, tm=tile_m)
     out_d, out_i = pl.pallas_call(
