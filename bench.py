@@ -116,15 +116,19 @@ def _run_throughput(PipeCls, cfg, scans, imu, warmup, chunk=None):
             now = time.perf_counter()
             rates.append(chunk / (now - t_chunk))
             t_chunk = now
+    if t_start is None:
+        raise ValueError(f"warmup {warmup} >= frame count {len(scans)}")
+    # stop the clock at the device-work barrier, BEFORE joining any
+    # in-flight growth-precompile thread: the join can take minutes of
+    # compile time unrelated to steady-state throughput (ADVICE r3)
+    pipe.block()
+    elapsed = time.perf_counter() - t_start
     # finish(): drains the async queue AND joins any in-flight growth
     # precompile so its executable lands in the persistent cache (a
     # daemon-thread compile killed at process exit is compiled in vain,
     # and the next session pays it again)
     if hasattr(pipe, "finish"):
         pipe.finish()
-    else:
-        pipe.block()
-    elapsed = time.perf_counter() - t_start
     sps = (len(scans) - warmup) / elapsed
     if chunk:
         return pipe, sps, rates

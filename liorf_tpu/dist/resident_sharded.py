@@ -47,9 +47,13 @@ class ShardedResidentPipeline(ResidentPipeline):
                 f"{mesh.devices.size}-device mesh"
             )
         # the same traced computation as the single-chip path; sharding
-        # comes from the committed input placements, not a separate code path
+        # comes from the committed input placements, not a separate code
+        # path. The state is rebound on every step, so donating it is safe
+        # and halves steady-state HBM (without donation every step keeps
+        # two full copies of the map grid + keyframe clouds live).
         self._jit_step = jax.jit(
-            resident_step.__wrapped__, static_argnames=("params",)
+            resident_step.__wrapped__, static_argnames=("params",),
+            donate_argnums=(0,),
         )
         self._state_replicated = False
 
@@ -61,7 +65,20 @@ class ShardedResidentPipeline(ResidentPipeline):
                 lambda a: jax.device_put(a, self._sh_repl), self.state
             )
             self._state_replicated = True
+        self.state = self._sharded_call(self.state, buf, S, W)
 
+    def _warm_step(self, grown, buf: np.ndarray, S: int, W: int):
+        # growth precompile must warm THIS pipeline's executable (the
+        # unpacked sharded step), not resident_step_packed — the base
+        # class's warm would compile a program this pipeline never
+        # dispatches and growth would still stall on a synchronous compile
+        grown = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, self._sh_repl), grown
+        )
+        out = self._sharded_call(grown, buf, S, W)
+        jax.block_until_ready(out.traj_count)
+
+    def _sharded_call(self, state, buf: np.ndarray, S: int, W: int):
         # host-side unpack of the flat frame buffer (layout: frame_buf_size)
         o = 0
 
@@ -100,8 +117,8 @@ class ShardedResidentPipeline(ResidentPipeline):
         put_p = lambda a, dt=jnp.float32: jax.device_put(jnp.asarray(a, dt), self._sh_pts)
         put_r = lambda a, dt=jnp.float32: jax.device_put(jnp.asarray(a, dt), self._sh_repl)
 
-        self.state = self._jit_step(
-            self.state,
+        return self._jit_step(
+            state,
             put_p2(xyz), put_p(rel_t), put_p(mask, bool),
             put_r(np.float32(scan_start)),
             put_r(dk_times), put_r(dk_gyr), put_r(dk_mask, bool),

@@ -158,7 +158,11 @@ def associate(
     tb_sorted = t_b[order]
     pos = np.searchsorted(tb_sorted, t_a)
     cands = []
-    for j_off in (-1, 0):
+    # two bracketing candidates per query plus one more on each side: on
+    # dense/offset clocks the bracketing pair can both be claimed by closer
+    # queries during the greedy pass, and a third-nearest stamp within
+    # max_diff would legally match (TUM associate.py considers all pairs)
+    for j_off in (-2, -1, 0, 1):
         j = np.clip(pos + j_off, 0, len(tb_sorted) - 1)
         diff = np.abs(t_a - tb_sorted[j])
         cands.append((diff, np.arange(len(t_a)), order[j]))

@@ -540,10 +540,15 @@ def resident_step(
     now = scan_start
 
     # latched loop cadence: a tick that misses a keyframe frame persists
-    # until the next keyframe consumes it (loop thread parity,
-    # mapOptmization.cpp:515-542)
+    # until a keyframe actually RUNS the search (loop thread parity,
+    # mapOptmization.cpp:515-542). _insert_keyframe additionally gates the
+    # search on kf_count > 2 (post-increment), so a tick landing on one of
+    # the first keyframes must stay armed rather than be silently dropped —
+    # the reference's 1 Hz thread would simply retry next beat.
     want_loop = state.pending_loop | do_loop
-    state = state._replace(pending_loop=want_loop & ~is_kf)
+    K_ring = state.kf_poses.shape[0]
+    search_runs = is_kf & (jnp.minimum(state.kf_count + 1, K_ring) > 2)
+    state = state._replace(pending_loop=want_loop & ~search_runs)
 
     def kf_branch(st):
         # ScanContext descriptor only exists per keyframe (the reference
@@ -1005,14 +1010,12 @@ class ResidentPipeline(LiorfPipeline):
         )
         S, W = self.cfg.raw_cap, self.cfg.imu_window
         buf = np.zeros(frame_buf_size(S, W), np.float32)
-        params = self.params
 
         def work():
             import logging
 
             try:
-                out = resident_step_packed(grown, jnp.asarray(buf), params, S, W)
-                jax.block_until_ready(out.traj_count)
+                self._warm_step(grown, buf, S, W)
                 logging.getLogger("liorf_tpu").info(
                     "growth precompile ready (kf=%s traj=%s gps=%s loop=%s imu=%s)",
                     *pred,
@@ -1029,6 +1032,16 @@ class ResidentPipeline(LiorfPipeline):
         )
         t.start()
         self._precompile_thread = t
+
+    def _warm_step(self, grown: ResidentState, buf: np.ndarray, S: int, W: int):
+        """One masked-empty step on the grown state (precompile worker body).
+
+        Overridden by pipelines that dispatch a DIFFERENT executable than
+        ``resident_step_packed`` (dist/resident_sharded.py) — warming the
+        wrong program would leave the real post-growth step to compile
+        synchronously, stalling the stream (ADVICE r3)."""
+        out = resident_step_packed(grown, jnp.asarray(buf), self.params, S, W)
+        jax.block_until_ready(out.traj_count)
 
     def _grow_rings(self, grow_kf, grow_traj, grow_gps, grow_loop,
                     grow_imu=False):

@@ -130,3 +130,42 @@ def test_sharded_resident_pipeline_trajectory_parity(mesh8):
         traj_sharded[:, :3], traj_single[:, :3], atol=2e-2
     )
     assert (traj_sharded[:, 6] == traj_single[:, 6]).mean() >= 0.8
+
+
+def test_sharded_resident_pipeline_growth(mesh8):
+    """Ring growth on the SHARDED resident pipeline: the grown state must
+    keep its GSPMD placements, the donated re-jit must retrace cleanly for
+    the new shapes, and the stream must continue (ADVICE r3: the sharded
+    pipeline has its own executable — growth/precompile must target it)."""
+    from liorf_tpu.dist.resident_sharded import ShardedResidentPipeline
+    from liorf_tpu.pipeline import SlamConfig
+    from liorf_tpu.sensors.synthetic import SyntheticConfig, SyntheticDataset
+
+    n = 12
+    syn = SyntheticDataset(
+        SyntheticConfig(n_frames=n, n_rings=8, points_per_ring=180)
+    )
+    cfg = SlamConfig(
+        scan_capacity=1024, raw_capacity=2048, map_capacity=8192,
+        kf_cloud_capacity=512, near_kf_capacity=8, imu_window=32,
+        point_filter_num=1, downsampleRate=1,
+        mappingSurfLeafSize=0.4, surroundingKeyframeMapLeafSize=0.4,
+        loopClosureEnableFlag=False,
+        kf_capacity=8, traj_capacity=8,  # 12 frames -> both must grow
+        gps_capacity=8, loop_capacity=8, pull_free_growth=True,
+    )
+    pipe = ShardedResidentPipeline(cfg, mesh8)
+    imu = syn.imu_stream()
+    ii = 0
+    for f in range(n):
+        scan = syn.scan(f)
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        pipe.process_scan(scan)
+    pipe.finish()
+    assert pipe.growth_events >= 1
+    cnt = int(np.asarray(pipe.state.traj_count))
+    assert cnt == n
+    traj = np.asarray(pipe.state.traj)[:cnt]
+    assert np.isfinite(traj[:, :6]).all()

@@ -147,3 +147,64 @@ def test_loop_tick_latched_across_nonkeyframe():
     assert int(np.asarray(pipe.state.l_count)) >= 1, (
         "latched tick never produced a loop factor"
     )
+
+
+def test_loop_tick_relatched_on_early_keyframe():
+    """A tick consumed by one of the FIRST keyframes (where the in-graph
+    search is suppressed by the kf_count > 2 gate) must stay latched, not
+    silently drop — the reference's 1 Hz loop thread simply retries next
+    beat (ADVICE r3). Ticks on the 2nd keyframe used to clear the latch
+    without ever running the search."""
+    syn = SyntheticDataset(
+        SyntheticConfig(
+            n_frames=N_FRAMES, n_rings=16, points_per_ring=360,
+            speed=3.0, yaw_rate=1.2,
+            gyro_bias=(0.01, -0.008, 0.015),
+            accel_noise=0.08, gyro_noise=0.01,
+        )
+    )
+    cfg = _cfg(True)
+    cfg.loopClosureFrequency = 0.01  # ticks only via trigger_loop_search()
+
+    # pass 1: find the frame that inserts keyframe #2 (bootstrap is kf #1)
+    pipe = ResidentPipeline(cfg)
+    imu = syn.imu_stream()
+    ii = 0
+    for f in range(N_FRAMES):
+        scan = syn.scan(f)
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        pipe.process_scan(scan)
+    pipe.block()
+    traj = np.asarray(pipe.state.traj)[: int(np.asarray(pipe.state.traj_count))]
+    kf_ordinal = np.cumsum(traj[:, 6] > 0.5)
+    early = np.flatnonzero((traj[:, 6] > 0.5) & (kf_ordinal == 2))
+    assert len(early) == 1, "could not locate the 2nd keyframe"
+    tick_frame = int(early[0])
+
+    # pass 2: tick exactly on that early keyframe
+    pipe = ResidentPipeline(cfg)
+    imu = syn.imu_stream()
+    ii = 0
+    for f in range(N_FRAMES):
+        scan = syn.scan(f)
+        while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
+            pipe.push_imu(imu[ii])
+            ii += 1
+        if f == tick_frame:
+            pipe.trigger_loop_search()
+        pipe.process_scan(scan)
+        if f == tick_frame:
+            pipe.block()
+            # the early keyframe could NOT run the search (kf_count <= 2);
+            # the tick must survive in the latch
+            assert bool(np.asarray(pipe.state.pending_loop)), (
+                "tick on the 2nd keyframe was dropped by the kf_count gate"
+            )
+    pipe.block()
+    # a later keyframe (kf_count > 2) consumed the latch by actually
+    # RUNNING the search (whether a candidate passes the time-diff/radius
+    # gates that early is the search's business — a spent tick after a
+    # real search is correct; a dropped tick before any search is the bug)
+    assert not bool(np.asarray(pipe.state.pending_loop))
