@@ -1,10 +1,12 @@
-"""Benchmark: end-to-end SLAM throughput on one chip.
+"""Benchmark: end-to-end SLAM throughput + accuracy on one chip.
 
 Runs the full pipeline (deskew -> scan-to-map GN -> IMU fusion -> keyframe
-pose graph) over a synthetic city sequence and reports sustained scans/sec
-against the reference's real-time operating point (10 Hz lidar — LIO-SAM's
-"up to 10x faster than real-time" claim is relative to the same 10 Hz,
-/root/reference/README.md:170).
+pose graph -> in-graph loop closure) over synthetic city sequences and
+reports sustained scans/sec against the reference's real-time operating
+point (10 Hz lidar — LIO-SAM's "up to 10x faster than real-time" claim is
+relative to the same 10 Hz, /root/reference/README.md:170), plus recorded,
+BOUNDED accuracy numbers (the reference's published evidence is accuracy
+plots, /root/reference/README.md:100-116).
 
 Output contract (driver-safe ordering):
 
@@ -14,15 +16,22 @@ Output contract (driver-safe ordering):
      30–400 s with high variance and permanently degrades later dispatches).
      Even if the driver's timeout fires during the extras below, this line
      is already on stdout.
-  2. Best-effort extras (dense KITTI-density pass, per-frame latency, ATE)
-     each run only while a wall-clock budget remains (BENCH_DEADLINE_S,
-     default 900 s from process start) and are individually try/except'd.
-  3. A final enriched JSON line repeats the same metric/value plus whatever
-     extras completed, so a last-JSON-line parser sees the same number as a
-     first-JSON-line parser.
+  2. Best-effort extras each run only while a wall-clock budget remains
+     (BENCH_DEADLINE_S, default 900 s from process start) and are
+     individually try/except'd, ordered so that everything that must NOT
+     pull (dense/latency/solver-envelope/multistream) runs before the
+     first pull (the endurance pass's trajectory readback), and everything
+     that pulls piggybacks on that already-paid first pull.
+  3. Enriched JSON lines repeat the same metric/value plus whatever extras
+     completed so far (one after the accuracy section, one final), so a
+     last-JSON-line parser sees the same number as a first-JSON-line one.
+  4. Accuracy numbers carry asserted bounds: any violated bound lands in
+     extras["bounds_failed"] (empty list = all bounds hold) so a silent
+     10x accuracy regression cannot pass unnoticed (VERDICT r3 next #1).
 
 Env knobs: BENCH_FRAMES/RINGS/PPR/WARMUP (primary pass shape),
-BENCH_DENSE=0, BENCH_LATENCY=0 to skip extras, BENCH_DEADLINE_S budget.
+BENCH_DENSE/BENCH_LATENCY/BENCH_LONG/BENCH_SOLVER/BENCH_MULTI/
+BENCH_WEAKSCALE=0 to skip extras, BENCH_DEADLINE_S budget.
 """
 
 import json
@@ -33,6 +42,22 @@ import time
 import numpy as np
 
 _T_PROC = time.perf_counter()
+
+# asserted accuracy/efficiency bounds (see module docstring point 4).
+# Justification: primary/dense are drift-free short passes where r2-r4
+# consistently measure ~0.017-0.03 m ATE — 0.05 m flags a 2-3x regression.
+# The multi-lap endurance course accumulates ~0.5%/lap odometric drift at
+# sparse 16x720 density; with >=3 loop closures the corrected ATE measures
+# ~0.1-0.3 m, so 0.6 m flags a broken correction chain while tolerating
+# solver noise. 0.7 weak-scaling is the BASELINE.md:22-25 north star.
+BOUNDS = {
+    "ate_rmse_m": 0.05,
+    "dense_ate_rmse_m": 0.05,
+    "long_ate_rmse_m": 0.6,
+    "weak_scaling_2host": 0.7,
+    "weak_scaling_4host": 0.7,
+}
+MIN_LONG_LOOPS = 3
 
 
 def _time_left(deadline: float) -> float:
@@ -64,15 +89,24 @@ def _safe_devices(jax):
         return []
 
 
-def _dataset(n_frames: int, rings: int, ppr: int):
-    """Generate (and cache) the synthetic sequence."""
+def _dataset(n_frames: int, rings: int, ppr: int, yaw_rate: float = None,
+             speed: float = None):
+    """Generate (and cache) a synthetic sequence; optional course override."""
     from liorf_tpu.sensors.synthetic import SyntheticConfig, SyntheticDataset
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    key = f"seq_f{n_frames}_r{rings}_p{ppr}_v2.npz"
+    course = ""
+    kw = {}
+    if yaw_rate is not None:
+        kw["yaw_rate"] = yaw_rate
+        course += f"_y{yaw_rate}"
+    if speed is not None:
+        kw["speed"] = speed
+        course += f"_s{speed}"
+    key = f"seq_f{n_frames}_r{rings}_p{ppr}{course}_v2.npz"
     path = os.path.join(cache_dir, key)
-    cfg = SyntheticConfig(n_frames=n_frames, n_rings=rings, points_per_ring=ppr)
+    cfg = SyntheticConfig(n_frames=n_frames, n_rings=rings, points_per_ring=ppr, **kw)
     syn = SyntheticDataset(cfg)
     if os.path.exists(path):
         data = np.load(path, allow_pickle=True)
@@ -99,6 +133,8 @@ def _run_throughput(PipeCls, cfg, scans, imu, warmup, chunk=None):
     (one block per chunk — a sync point, so only use it for endurance
     passes where growth/compile stalls must be separable from the
     steady-state rate)."""
+    if warmup >= len(scans):
+        raise ValueError(f"warmup {warmup} >= frame count {len(scans)}")
     pipe = PipeCls(cfg)
     ii = 0
     t_start = None
@@ -116,8 +152,6 @@ def _run_throughput(PipeCls, cfg, scans, imu, warmup, chunk=None):
             now = time.perf_counter()
             rates.append(chunk / (now - t_chunk))
             t_chunk = now
-    if t_start is None:
-        raise ValueError(f"warmup {warmup} >= frame count {len(scans)}")
     # stop the clock at the device-work barrier, BEFORE joining any
     # in-flight growth-precompile thread: the join can take minutes of
     # compile time unrelated to steady-state throughput (ADVICE r3)
@@ -133,6 +167,169 @@ def _run_throughput(PipeCls, cfg, scans, imu, warmup, chunk=None):
     if chunk:
         return pipe, sps, rates
     return pipe, sps
+
+
+def _solver_envelope(extras):
+    """Full-relax + trailing-window solve latency at the reference's graph
+    envelope (K=1024/2048/4096 keyframes — MulRan/urban_hongkong-scale
+    1000+-keyframe sessions, SURVEY §7): the load-bearing "batch GN
+    replaces iSAM2" claim measured at scale instead of at ~100 nodes
+    (VERDICT r3 next #3). Realistic factor mix: full odometry chain,
+    K/50 loop factors, K/100 GPS factors. Timing by block_until_ready —
+    no device->host pull."""
+    import jax
+    import jax.numpy as jnp
+
+    from liorf_tpu.graph import pose_graph as pg
+
+    rng = np.random.default_rng(0)
+    for K in (1024, 2048, 4096):
+        n_loop = K // 50
+        n_gps = K // 100
+        graph = pg.empty_graph(K, K + n_loop, max(n_gps, 1))
+        # circular course, noisy nodes, exact chain measurements
+        yaw = 2 * np.pi * np.arange(K) / K
+        ts = np.stack(
+            [60 * np.cos(yaw), 60 * np.sin(yaw), np.zeros(K)], 1
+        ).astype(np.float32)
+        ts_noisy = ts + rng.normal(scale=0.1, size=ts.shape).astype(np.float32)
+        e_i = np.arange(K + n_loop, dtype=np.int32)
+        e_j = e_i + 1
+        li = rng.integers(0, K // 2, size=n_loop)
+        lj = li + K // 2
+        e_i[K:] = li
+        e_j[K:] = lj
+        e_i = np.minimum(e_i, K - 1)
+        e_j = np.minimum(e_j, K - 1)
+        e_tm = ts[e_j] - ts[e_i]
+        gi = np.linspace(0, K - 1, max(n_gps, 1)).astype(np.int32)
+        graph = graph._replace(
+            ts=jnp.asarray(ts_noisy),
+            node_mask=jnp.ones((K,), bool),
+            e_i=jnp.asarray(e_i),
+            e_j=jnp.asarray(e_j),
+            e_tm=jnp.asarray(e_tm),
+            e_sqrt_info=jnp.ones((K + n_loop, 6), jnp.float32) * 10.0,
+            e_mask=jnp.asarray(np.concatenate(
+                [np.arange(K) < K - 1, np.ones(n_loop, bool)])),
+            g_i=jnp.asarray(gi),
+            g_t=jnp.asarray(ts[gi]),
+            g_mask=jnp.ones((max(n_gps, 1),), bool),
+            prior_t=jnp.asarray(ts[0]),
+        )
+        # production budgets (pipeline/resident.py ResidentParams)
+        full_p = pg.SolveParams(gn_iters=4, pcg_iters=64)
+        win_p = pg.SolveParams(gn_iters=2, pcg_iters=16)
+
+        def timed(fn, *a, **kw):
+            jax.block_until_ready(fn(*a, **kw).ts)  # compile + warm
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*a, **kw).ts)
+                best = min(best, time.perf_counter() - t0)
+            return best * 1e3
+
+        extras[f"solve_k{K}_ms"] = round(timed(pg.solve, graph, 0, full_p), 2)
+        extras[f"solve_window_k{K}_ms"] = round(
+            timed(pg.solve, graph, K - 16, win_p), 2
+        )
+
+
+def _multistream_pass(extras, deadline):
+    """Aggregate serving throughput at N=4 batched sessions vs N=1, as a
+    recorded artifact number (VERDICT r3 next #2; prose claims in README
+    don't survive audits). No device->host pull."""
+    from liorf_tpu.pipeline import SlamConfig
+    from liorf_tpu.pipeline.multistream import MultiStreamPipeline
+
+    n_frames, warm = 48, 10
+    scans, imu, _ = _dataset(60, 16, 720)
+    scans = scans[:n_frames]
+    cfg = SlamConfig(
+        scan_capacity=8192, raw_capacity=16384, map_capacity=131072,
+        kf_cloud_capacity=4096, near_kf_capacity=32, imu_window=64,
+        point_filter_num=1, downsampleRate=1,
+        mappingSurfLeafSize=0.3, surroundingKeyframeMapLeafSize=0.3,
+        loopClosureEnableFlag=True,
+        kf_capacity=64, traj_capacity=64, gps_capacity=16, loop_capacity=16,
+    )
+    rates = {}
+    for n_streams in (1, 4):
+        if _time_left(deadline) < 90 and rates:
+            break
+        mp = MultiStreamPipeline(cfg, n_streams=n_streams)
+        iis = [0] * n_streams
+        t0 = None
+        for f in range(n_frames):
+            scan = scans[f]
+            for lane in range(n_streams):
+                while (iis[lane] < len(imu)
+                       and imu[iis[lane]].stamp <= scan.end_time + 0.02):
+                    mp.push_imu(lane, imu[iis[lane]])
+                    iis[lane] += 1
+            if f == warm:
+                t0 = time.perf_counter()
+            mp.step([scan] * n_streams)
+        mp.block()
+        rates[n_streams] = (n_frames - warm) * n_streams / (time.perf_counter() - t0)
+    if 4 in rates:
+        extras["multistream_streams"] = 4
+        extras["multistream_scans_per_sec"] = round(rates[4], 1)
+        extras["multistream_efficiency"] = round(rates[4] / (4 * rates[1]), 3)
+
+
+def _weak_scaling(extras, deadline):
+    """Emulated multi-host weak scaling at 2 AND 4 hosts, recorded in the
+    artifact (VERDICT r3 next #2/#7). Real OS processes federated via
+    jax.distributed + gloo on CPU — independent of the TPU device, so this
+    runs safely after the pulls. Efficiency = t(1 host)/t(N hosts) at
+    fixed keyframes per host."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from launch_multihost import launch
+
+    nodes = int(os.environ.get("MH_NODES_PER_DEV", "4096"))
+    results = {}
+    for n in (1, 2, 4):
+        if n > 1 and _time_left(deadline) < 120:
+            break
+        if n > (os.cpu_count() or 1):
+            break
+        results[n] = launch(
+            num_processes=n, local_devices=1, nodes_per_device=nodes,
+            pcg_iters=12, gn_iters=4, inner_iters=8, repeats=2,
+        )
+    t1 = results.get(1, {}).get("solve_s")
+    if t1:
+        extras["weak_scaling_nodes_per_host"] = nodes
+        for n in (2, 4):
+            if n in results:
+                extras[f"weak_scaling_{n}host"] = round(
+                    t1 / results[n]["solve_s"], 3
+                )
+
+
+def _check_bounds(extras):
+    """Assert accuracy/efficiency bounds; violations land in
+    extras["bounds_failed"] so regressions fail loudly in the artifact."""
+    failed = []
+    for key, bound in BOUNDS.items():
+        if key not in extras:
+            continue
+        v = extras[key]
+        ok = (v >= bound) if key.startswith("weak_scaling") else (v <= bound)
+        if not ok:
+            failed.append(f"{key}={v} vs bound {bound}")
+    if "long_loops" in extras and extras["long_loops"] < MIN_LONG_LOOPS:
+        failed.append(f"long_loops={extras['long_loops']} < {MIN_LONG_LOOPS}")
+    if (
+        "long_ate_rmse_m" in extras
+        and "long_ate_no_loop_m" in extras
+        and extras["long_ate_rmse_m"] > extras["long_ate_no_loop_m"] * 1.2
+    ):
+        failed.append("loop-corrected long ATE worse than uncorrected")
+    extras["bounds_failed"] = failed
 
 
 def main():
@@ -181,12 +378,16 @@ def main():
     print(json.dumps(result), flush=True)
 
     extras = {}
+    on_cpu = "cpu" in str(jax.devices()[0]).lower()
+
+    # ============ section A: no device->host pulls allowed ============
 
     # --- best-effort: dense pass at KITTI HDL-64 density (64x1800 ~ 113k pts
     # raw; operating point /root/reference/config/kitti.yaml:26-29) ---------
+    dense_pipe = dense_gt = None
     if os.environ.get("BENCH_DENSE", "1") == "1" and _time_left(deadline) > 240:
         try:
-            dense_scans, dense_imu, _ = _dataset(60, 64, 1800)
+            dense_scans, dense_imu, dense_gt = _dataset(60, 64, 1800)
             dense_cfg = SlamConfig(
                 raw_capacity=131072,
                 scan_capacity=32768,
@@ -200,7 +401,7 @@ def main():
                 surroundingKeyframeMapLeafSize=0.4,
                 loopClosureEnableFlag=True,
             )
-            _, dense_sps = _run_throughput(
+            dense_pipe, dense_sps = _run_throughput(
                 ResidentPipeline, dense_cfg, dense_scans, dense_imu, 12)
             extras["dense_scans_per_sec"] = round(dense_sps, 3)
             extras["dense_points_per_scan"] = int(
@@ -230,15 +431,37 @@ def main():
         except Exception as e:  # noqa: BLE001
             extras["latency_error"] = repr(e)[:200]
 
-    # --- best-effort: 512-frame endurance run that CROSSES device-ring
-    # growth (capacities sized so the keyframe and trajectory rings must
-    # double mid-run — exercises growth + precompile + post-growth retrace
-    # end-to-end on the real chip; VERDICT r2 missing #2c). Runs AFTER the
-    # latency pass: its optional ATE needs a device->host pull, which
-    # permanently degrades later dispatch latency. ----------------------
-    if os.environ.get("BENCH_LONG", "1") == "1" and _time_left(deadline) > 420:
+    # --- best-effort: pose-graph solver at the reference's graph envelope
+    # (K up to 4096; block_until_ready timing, no pull) ------------------
+    if os.environ.get("BENCH_SOLVER", "1") == "1" and _time_left(deadline) > 150:
         try:
-            long_scans, long_imu, long_gt = _dataset(512, 16, 720)
+            _solver_envelope(extras)
+        except Exception as e:  # noqa: BLE001
+            extras["solver_error"] = repr(e)[:200]
+
+    # --- best-effort: multi-session serving throughput (no pull) --------
+    if os.environ.get("BENCH_MULTI", "1") == "1" and _time_left(deadline) > 180:
+        try:
+            _multistream_pass(extras, deadline)
+        except Exception as e:  # noqa: BLE001
+            extras["multistream_error"] = repr(e)[:200]
+
+    # checkpoint line: section-A extras recorded even if the driver's
+    # timeout fires during the (pull-heavy) endurance section below
+    print(json.dumps({**result, **extras}), flush=True)
+
+    # ============ section B: pulls (first pull paid by the long pass) ====
+
+    # --- best-effort: 512-frame MULTI-LAP endurance run that crosses
+    # device-ring growth AND closes >=3 loops (yaw_rate 0.4 -> one lap per
+    # ~157 frames; capacities sized so the keyframe and trajectory rings
+    # must double mid-run). Records ATE with and without the correctPoses
+    # re-anchoring so the artifact demonstrates loop-correction efficacy
+    # at post-growth scale, not raw drift (VERDICT r3 next #1b). --------
+    long_pulled = False
+    if os.environ.get("BENCH_LONG", "1") == "1" and _time_left(deadline) > 300:
+        try:
+            long_scans, long_imu, long_gt = _dataset(512, 16, 720, yaw_rate=0.4)
             long_cfg = SlamConfig(
                 scan_capacity=8192,
                 raw_capacity=16384,
@@ -268,20 +491,31 @@ def main():
             extras["long_steady_scans_per_sec"] = round(
                 float(np.median(long_rates)), 3) if long_rates else None
             extras["long_ring_growths"] = int(long_pipe.growth_events)
-            if "cpu" in str(jax.devices()[0]).lower() or _time_left(deadline) > 500:
+            if on_cpu or _time_left(deadline) > 120:
                 from liorf_tpu.eval.metrics import ate_rmse as _ate
 
+                # THE first pull of the process happens here
                 _, lp = long_pipe.trajectory_arrays()
+                long_pulled = True
+                gtl = long_gt[: len(lp)]
                 extras["long_ate_rmse_m"] = round(
-                    float(_ate(lp[:, 3:6], long_gt[: len(lp)])), 4)
-                extras["long_loops"] = int(
-                    np.asarray(long_pipe.state.l_count))
+                    float(_ate(lp[:, 3:6], gtl)), 4)
+                # uncorrected = as-tracked ring poses, WITHOUT the
+                # correctPoses re-anchoring onto relaxed keyframe poses
+                raw = np.asarray(long_pipe.state.traj)
+                cnt = int(np.asarray(long_pipe.state.traj_count))
+                extras["long_ate_no_loop_m"] = round(
+                    float(_ate(raw[:cnt, 3:6], long_gt[:cnt])), 4)
+                extras["long_loops"] = int(np.asarray(long_pipe.state.l_count))
         except Exception as e:  # noqa: BLE001
             extras["long_error"] = repr(e)[:200]
 
-    # --- best-effort: ATE (requires the FIRST device->host pull: 30–400 s on
-    # the tunneled TPU — runs last, only with a generous remaining budget) --
-    if _time_left(deadline) > 420 or "cpu" in str(jax.devices()[0]).lower():
+    # --- primary-pass ATE: ALWAYS recorded when any budget remains — the
+    # long pass above already paid the first-pull penalty, so this pull is
+    # cheap; without the long pass it still runs given a generous budget
+    # (VERDICT r3 next #1a: the primary accuracy number must never be
+    # starved out of the artifact) --------------------------------------
+    if long_pulled or on_cpu or _time_left(deadline) > 420:
         try:
             from liorf_tpu.eval.metrics import ate_rmse
 
@@ -291,8 +525,36 @@ def main():
         except Exception as e:  # noqa: BLE001
             extras["ate_error"] = repr(e)[:200]
 
+    # --- dense-pass ATE (KITTI-density operating point accuracy,
+    # VERDICT r3 next #8) ------------------------------------------------
+    if dense_pipe is not None and (long_pulled or on_cpu):
+        try:
+            from liorf_tpu.eval.metrics import ate_rmse
+
+            _, dposes = dense_pipe.trajectory_arrays()
+            extras["dense_ate_rmse_m"] = round(
+                float(ate_rmse(dposes[:, 3:6], dense_gt[: len(dposes)])), 4)
+        except Exception as e:  # noqa: BLE001
+            extras["dense_ate_error"] = repr(e)[:200]
+
+    # mid-run enriched line: accuracy recorded even if weak-scaling below
+    # hits the driver's timeout
+    _check_bounds(extras)
+    result.update(extras)
+    print(json.dumps(result), flush=True)
+
+    # ============ section C: CPU subprocesses (device-independent) =======
+
+    # --- emulated multi-host weak scaling at 2 and 4 hosts --------------
+    if os.environ.get("BENCH_WEAKSCALE", "1") == "1" and _time_left(deadline) > 180:
+        try:
+            _weak_scaling(extras, deadline)
+        except Exception as e:  # noqa: BLE001
+            extras["weak_scaling_error"] = repr(e)[:200]
+
     # FINAL enriched line: same metric/value, so first-line and last-line
     # parsers agree; extras folded in for the record.
+    _check_bounds(extras)
     result.update(extras)
     print(json.dumps(result), flush=True)
 

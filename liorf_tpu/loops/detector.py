@@ -133,19 +133,41 @@ def verify_loop(
             max_iters=30, max_corr_dist=float(cfg.historyKeyframeSearchRadius * 2)
         ),
     )
-    # ONE packed pull of (pose, fitness, converged)
+    # ONE packed pull of (pose, fitness, converged, inlier_frac)
     packed = np.asarray(
         jnp.concatenate(
-            [res.pose, jnp.stack([res.fitness, res.converged.astype(jnp.float32)])]
+            [
+                res.pose,
+                jnp.stack(
+                    [
+                        res.fitness,
+                        res.converged.astype(jnp.float32),
+                        res.inlier_frac,
+                    ]
+                ),
+            ]
         )
     )
     fitness = float(packed[6])
     if packed[7] < 0.5 or fitness > cfg.historyKeyframeFitnessScore:
         return None
+    if float(packed[8]) < cfg.loopMinInlierFrac:
+        return None
 
     # corrected world pose of cur: icp_correction o (init or current) pose
     base = init_world_pose if init_world_pose is not None else store.poses[cur_idx]
     corrected = se3np.pose_compose(packed[:6], base)
+    # drift-budget consistency: the implied correction must fit inside the
+    # odometric drift plausible over the path between the two keyframes
+    # (same gate as the resident pipeline; see ResidentParams rationale)
+    corr_norm = float(
+        np.linalg.norm(corrected[3:] - store.poses[cur_idx][3:])
+    )
+    budget = cfg.loopCorrectionFloor + cfg.loopDriftBudget * abs(
+        cur_idx - prev_idx
+    ) * max(cfg.surroundingkeyframeAddingDistThreshold, 0.1)
+    if corr_norm > budget:
+        return None
     rel = se3np.pose_between(store.poses[prev_idx], corrected).astype(np.float32)
     if kind == "sc":
         sigma = np.full(6, np.sqrt(0.5), np.float32)  # var 0.5 + Cauchy(1) (:714-719)

@@ -35,6 +35,7 @@ class ICPParams(NamedTuple):
     max_iters: int = 30
     max_corr_dist: float = 30.0  # historyKeyframeSearchRadius * 2
     epsilon: float = 1e-6  # transform convergence (same role as PCL's)
+    inlier_dist: float = 1.0  # [m] radius for the alignment-quality fraction
 
 
 class ICPResult(NamedTuple):
@@ -42,6 +43,11 @@ class ICPResult(NamedTuple):
     fitness: jax.Array  # [] mean squared corr distance
     converged: jax.Array  # [] bool
     iters: jax.Array
+    # fraction of valid source points whose final NN lies within
+    # inlier_dist — an alignment-quality signal fitness alone lacks:
+    # fitness (an outlier-diluted mean) stays low when 95% of a WRONG
+    # match aligns, while the inlier fraction exposes the mismatched tail
+    inlier_frac: jax.Array  # [] float
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -103,6 +109,10 @@ def icp_point2point(
     n_ok = jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
     fitness = jnp.sum(jnp.where(ok, d2, 0.0)) / n_ok
     any_ok = jnp.sum(ok.astype(jnp.int32)) > 0
+    n_src = jnp.maximum(jnp.sum(source_mask.astype(jnp.float32)), 1.0)
+    inlier_frac = (
+        jnp.sum((ok & (d2 < params.inlier_dist**2)).astype(jnp.float32)) / n_src
+    )
     # PCL `hasConverged()` semantics (the gate the reference actually uses,
     # mapOptmization.cpp:581): true when the solver terminated by ANY
     # criterion — transformation epsilon OR the iteration cap — with valid
@@ -111,4 +121,7 @@ def icp_point2point(
     # silently rejected good loops on TPU, where f32 euler round-trip
     # noise keeps the per-iteration delta just above epsilon (found r3:
     # fitness 0.20-0.26 <= 0.3 candidates discarded for converged=False).
-    return ICPResult(pose=pose, fitness=fitness, converged=any_ok, iters=iters)
+    return ICPResult(
+        pose=pose, fitness=fitness, converged=any_ok, iters=iters,
+        inlier_frac=inlier_frac,
+    )

@@ -94,6 +94,15 @@ class SlamConfig:
     historyKeyframeSearchNum: int = 25
     loopClosureICPSurfLeafSize: float = 0.5
     historyKeyframeFitnessScore: float = 0.3
+    # loop acceptance gates beyond the reference's fitness check (see
+    # pipeline/resident.py ResidentParams): minimum ICP inlier fraction,
+    # and a drift-budget consistency bound on the implied correction
+    # (floor + budget * keyframe-index-gap * keyframe spacing). Set
+    # loopMinInlierFrac=0 and loopCorrectionFloor=inf for strict
+    # reference-parity acceptance.
+    loopMinInlierFrac: float = 0.4
+    loopDriftBudget: float = 0.05
+    loopCorrectionFloor: float = 2.0
 
     # Visualization (kept for config compat)
     globalMapVisualizationSearchRadius: float = 1000.0
