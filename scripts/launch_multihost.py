@@ -47,12 +47,22 @@ def launch(
     env.pop("JAX_PLATFORMS", None)
     env["JAX_PLATFORM_NAME"] = "cpu"
 
+    import shutil
     import tempfile
+
+    # Pin every worker to ONE core (when taskset exists): XLA:CPU threads
+    # across all available cores per process, so an unpinned 1-process
+    # baseline uses every core while N processes fight over them — the
+    # measured "weak scaling" is then core contention, not collective
+    # overhead. One core per worker makes t(1 host) vs t(N hosts)
+    # like-for-like on any host with >= N cores.
+    cores = os.cpu_count() or 1
+    pin = shutil.which("taskset") is not None
 
     procs = []
     files = []
     for pid in range(num_processes):
-        cmd = [
+        cmd = (["taskset", "-c", str(pid % cores)] if pin else []) + [
             sys.executable, "-m", "liorf_tpu.dist.multihost",
             "--coordinator", f"127.0.0.1:{port}",
             "--num-processes", str(num_processes),
