@@ -25,8 +25,11 @@ Output contract (driver-safe ordering):
      that already-paid first pull (the pull costs 30-400 s with high
      variance, so pull-free sections must never queue behind it).
   3. Enriched JSON lines repeat the same metric/value plus whatever extras
-     completed so far (one after the accuracy section, one final), so a
-     last-JSON-line parser sees the same number as a first-JSON-line one.
+     completed so far (one after the pull-free device section A, one after
+     the CPU weak-scaling section B, one final after the pull-heavy
+     accuracy section C), so a last-JSON-line parser sees the same number
+     as a first-JSON-line one and a driver timeout during any section
+     loses only that section's extras.
   4. Accuracy numbers carry asserted bounds: any violated bound lands in
      extras["bounds_failed"] (empty list = all bounds hold) so a silent
      10x accuracy regression cannot pass unnoticed (VERDICT r3 next #1).
@@ -58,8 +61,22 @@ BOUNDS = {
     "long_ate_rmse_m": 0.6,
     "weak_scaling_2host": 0.7,
     "weak_scaling_4host": 0.7,
+    # tick(1 stream)/tick(N streams) with chunked sync: a healthy session
+    # measures ~0.5-1.0 (the batched tick costs about one single-stream
+    # tick); 0.3 flags a collapsed batch (ADVICE r4: the r4 artifact's
+    # 0.17 would now land in bounds_failed instead of passing silently).
+    # Waived when the single-stream tick itself is tunnel-dominated
+    # (multistream_degraded flag — the ratio then measures the session,
+    # not the batch).
+    "multistream_efficiency": 0.3,
 }
 MIN_LONG_LOOPS = 3
+# wall-clock reserved for section C (endurance pass + ATE pulls) when
+# gating section B: the first device->host pull costs 30-400 s, and the
+# endurance pass needs >300 s of remaining budget to start (ADVICE r4:
+# weak-scaling could previously exhaust the deadline and starve every
+# bounded accuracy number out of the artifact).
+RESERVE_PULL_S = 420.0
 
 
 def _time_left(deadline: float) -> float:
@@ -254,13 +271,30 @@ def _solver_envelope(extras):
 def _multistream_pass(extras, deadline):
     """Aggregate serving throughput at N=4 batched sessions vs N=1, as a
     recorded artifact number (VERDICT r3 next #2; prose claims in README
-    don't survive audits). No device->host pull."""
+    don't survive audits). No device->host pull.
+
+    Measurement discipline (ADVICE r4 — the r4 artifact recorded a 6x
+    tick-ratio collapse that was session noise, not the batch):
+    * ticks sync in CHUNKS of 8, not per tick — a per-tick barrier is
+      tunnel-roundtrip-bound (and one degraded window poisons the whole
+      pass), while the unbounded async queue is erratic over the tunnel;
+      chunked sync is reproducible AND lets host packing overlap device
+      work the way a real fleet feed does.
+    * passes interleave 1, N, 1, N and each count keeps its BEST rate,
+      so a transient slow window cannot produce a bogus ratio.
+    * if even the best single-stream tick is tunnel-dominated (>8 ms vs
+      the ~1 ms healthy-session p50), the session itself is degraded:
+      the ratio measures the tunnel, so multistream_degraded is set and
+      the efficiency bound is waived (number still recorded)."""
     from liorf_tpu.pipeline import SlamConfig
     from liorf_tpu.pipeline.multistream import MultiStreamPipeline
 
-    n_frames = int(os.environ.get("BENCH_MULTI_FRAMES", "48"))
+    n_frames = int(os.environ.get("BENCH_MULTI_FRAMES", "60"))
     n_multi = int(os.environ.get("BENCH_MULTI_STREAMS", "4"))
-    warm = max(2, n_frames // 5)
+    chunk = 8
+    # clamp: warm must leave >=1 timed frame (ADVICE r4: n_frames<=2
+    # previously left t0=None and raised TypeError)
+    warm = min(max(2, n_frames // 5), n_frames - 1)
     scans, imu, _ = _dataset(60, 16, 720)
     scans = scans[:n_frames]
     cfg = SlamConfig(
@@ -269,15 +303,24 @@ def _multistream_pass(extras, deadline):
         point_filter_num=1, downsampleRate=1,
         mappingSurfLeafSize=0.3, surroundingKeyframeMapLeafSize=0.3,
         loopClosureEnableFlag=True,
-        kf_capacity=64, traj_capacity=64, gps_capacity=16, loop_capacity=16,
+        # capacities sized so the 60-frame feed stays BELOW the 3/4
+        # growth-precompile trigger (96): at 64 the trigger fired at
+        # frame ~46 and the daemon compile of the GROWN 4-lane program
+        # serialized with dispatch over the tunnel, stalling the timed
+        # pass for minutes and aborting interpreter teardown
+        kf_capacity=128, traj_capacity=128, gps_capacity=16, loop_capacity=16,
     )
-    rates = {}
-    for n_streams in (1, n_multi):
-        if _time_left(deadline) < 90 and rates:
-            break
+
+    def one_pass(n_streams):
+        """One full feed; returns steady ticks/s as the MEDIAN over chunks
+        of 8 ticks (the endurance pass's methodology): the tunnel injects
+        rare ~100 ms stalls that poison a whole-pass mean several-fold —
+        measured r5: tick(1) mean 6.7 ms vs p50 0.87 ms in one pass —
+        while the chunk median is the sustained serving rate."""
         mp = MultiStreamPipeline(cfg, n_streams=n_streams)
         iis = [0] * n_streams
-        t0 = None
+        t0 = t_chunk = None
+        rates = []
         for f in range(n_frames):
             scan = scans[f]
             for lane in range(n_streams):
@@ -286,20 +329,47 @@ def _multistream_pass(extras, deadline):
                     mp.push_imu(lane, imu[iis[lane]])
                     iis[lane] += 1
             if f == warm:
-                t0 = time.perf_counter()
+                mp.block()  # drain warmup queue before starting the clock
+                t0 = t_chunk = time.perf_counter()
             mp.step([scan] * n_streams)
-            # synchronized tick: a lidar fleet drives lanes at a fixed
-            # cadence, and per-tick sync is reproducible over the tunnel
-            # (the unbounded async queue mode is erratic there: measured
-            # 2 ms/tick on one run and 88 ms/tick on the next; with a
-            # per-tick barrier N=4 measures a stable ~2 ms/tick)
-            mp.block()
-        rates[n_streams] = (n_frames - warm) * n_streams / (time.perf_counter() - t0)
-    if n_multi in rates:
+            if f >= warm and (f - warm) % chunk == chunk - 1:
+                mp.block()
+                now = time.perf_counter()
+                rates.append(chunk / (now - t_chunk))
+                t_chunk = now
+        mp.block()
+        rate = (float(np.median(rates)) if rates
+                # tiny-run fallback (BENCH_MULTI_FRAMES < warm+chunk)
+                else (n_frames - warm) / (time.perf_counter() - t0))
+        # join any stray growth-precompile daemon thread: one left
+        # compiling at process exit aborts interpreter teardown
+        mp.finish()
+        return rate
+
+    best = {}
+    order = [1, n_multi, 1, n_multi] if n_multi > 1 else [1]
+    for i, n_streams in enumerate(order):
+        # always complete the first (1, N) pair if we started; the repeat
+        # pair is best-effort on remaining budget
+        if i >= 2 and _time_left(deadline) < 90:
+            break
+        best[n_streams] = max(
+            best.get(n_streams, 0.0), one_pass(n_streams))
+    if n_multi in best and n_multi > 1:
+        tick1_ms = 1e3 / best[1]
+        tick_n_ms = 1e3 / best[n_multi]
         extras["multistream_streams"] = n_multi
-        extras["multistream_scans_per_sec"] = round(rates[n_multi], 1)
-        extras["multistream_efficiency"] = round(
-            rates[n_multi] / (n_multi * rates[1]), 3)
+        extras["multistream_scans_per_sec"] = round(best[n_multi] * n_multi, 1)
+        extras["multistream_tick_ms"] = round(tick_n_ms, 3)
+        extras["multistream_efficiency"] = round(tick1_ms / tick_n_ms, 3)
+        if tick1_ms > 8.0:
+            extras["multistream_degraded"] = True
+            extras["multistream_efficiency_degraded"] = True
+    elif 1 in best:
+        # BENCH_MULTI_STREAMS=1: a single-lane coordinator sanity number
+        # only — no trivial self-ratio efficiency (ADVICE r4)
+        extras["multistream_streams"] = 1
+        extras["multistream_scans_per_sec"] = round(best[1], 1)
 
 
 def _weak_scaling(extras, deadline):
@@ -320,11 +390,17 @@ def _weak_scaling(extras, deadline):
     cores = os.cpu_count() or 1
     results = {}
     for n in (1, 2, 4):
-        if n > 1 and _time_left(deadline) < 120:
+        # every launch (including n=1) gates on remaining budget AND runs
+        # under a budget-derived subprocess timeout, so one slow
+        # oversubscribed launch cannot eat past this section's share of
+        # the deadline (ADVICE r4)
+        left = _time_left(deadline)
+        if left < (90 if n == 1 else 120):
             break
         results[n] = launch(
             num_processes=n, local_devices=1, nodes_per_device=nodes,
             pcg_iters=6, gn_iters=4, inner_iters=24, repeats=2,
+            timeout=min(420.0, max(60.0, left - 30.0)),
         )
     t1 = results.get(1, {}).get("solve_s")
     if t1:
@@ -349,10 +425,16 @@ def _check_bounds(extras):
     for key, bound in BOUNDS.items():
         if key not in extras:
             continue
-        if extras.get(f"{key}_oversubscribed"):
-            continue  # measured under CPU time-sharing; number recorded, bound waived
+        if extras.get(f"{key}_oversubscribed") or extras.get(f"{key}_degraded"):
+            # measured under CPU time-sharing / a tunnel-degraded session:
+            # the number is recorded but reflects the environment, not the
+            # algorithm — bound waived, reason flagged alongside the key
+            continue
         v = extras[key]
-        ok = (v >= bound) if key.startswith("weak_scaling") else (v <= bound)
+        # weak_scaling_* and multistream_* are LOWER bounds (efficiency
+        # floors); accuracy keys are upper bounds (error ceilings)
+        lower = key.startswith(("weak_scaling", "multistream"))
+        ok = (v >= bound) if lower else (v <= bound)
         if not ok:
             failed.append(f"{key}={v} vs bound {bound}")
     if "long_loops" in extras and extras["long_loops"] < MIN_LONG_LOOPS:
@@ -492,12 +574,20 @@ def main():
     # 30-400 s with high variance, and when it lands at the high end it
     # starved this section entirely (observed in the r4 rehearsals).
     # This section never touches the TPU, so ordering it first only
-    # delays the pulls, not the timed device passes above. -----------------
-    if os.environ.get("BENCH_WEAKSCALE", "1") == "1" and _time_left(deadline) > 300:
+    # delays the pulls, not the timed device passes above. Section C's
+    # budget is protected two ways (ADVICE r4): the gate requires
+    # RESERVE_PULL_S + 300 s remaining, and the section runs against a
+    # deadline shrunk by RESERVE_PULL_S so its per-launch gates/timeouts
+    # cannot spend into section C's reserve. ------------------------------
+    if (os.environ.get("BENCH_WEAKSCALE", "1") == "1"
+            and _time_left(deadline) > RESERVE_PULL_S + 300):
         try:
-            _weak_scaling(extras, deadline)
+            _weak_scaling(extras, deadline - RESERVE_PULL_S)
         except Exception as e:  # noqa: BLE001
             extras["weak_scaling_error"] = repr(e)[:200]
+        # checkpoint line: weak-scaling results survive a driver timeout
+        # during section C's 30-400 s first pull (ADVICE r4)
+        print(json.dumps({**result, **extras}), flush=True)
 
     # ============ section C: pulls (first pull paid by the long pass) ====
 
