@@ -8,7 +8,11 @@ resident step (pipeline/multistream.py).
     BENCH_STREAMS=16 python scripts/bench_multistream.py
 
 Prints one JSON line per N: aggregate scans/s, per-stream scans/s, and
-the scaling efficiency vs N=1.
+the scaling efficiency vs N=1. Rates are the MEDIAN over 8-tick chunks
+(the tunnel injects rare ~100 ms stalls that poison a whole-pass mean
+several-fold — see bench.py:_multistream_pass and the r5 notes in
+.claude/skills/verify/SKILL.md); scripts/probe_multistream_tick.py
+decomposes one tick into host-pack/transfer/device components.
 """
 
 import json
@@ -51,11 +55,13 @@ def main() -> int:
     )
 
     counts = [int(x) for x in os.environ.get("BENCH_STREAMS", "1,2,4,8").split(",")]
+    chunk = 8
     base = None
     for n_streams in counts:
         mp = MultiStreamPipeline(cfg, n_streams=n_streams)
         iis = [0] * n_streams
-        t0 = None
+        t_chunk = None
+        rates = []
         for f in range(n_frames):
             scan = scans_all[f]
             for lane in range(n_streams):
@@ -66,11 +72,17 @@ def main() -> int:
                     mp.push_imu(lane, imu_all[iis[lane]])
                     iis[lane] += 1
             if f == warm:
-                t0 = time.perf_counter()
+                mp.block()
+                t_chunk = time.perf_counter()
             mp.step([scan] * n_streams)
+            if f >= warm and (f - warm) % chunk == chunk - 1:
+                mp.block()
+                now = time.perf_counter()
+                rates.append(chunk / (now - t_chunk))
+                t_chunk = now
         mp.block()
-        el = time.perf_counter() - t0
-        agg = (n_frames - warm) * n_streams / el
+        mp.finish()  # join any growth-precompile daemon (teardown abort)
+        agg = float(np.median(rates)) * n_streams
         if base is None:
             base = agg
         print(
