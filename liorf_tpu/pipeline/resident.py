@@ -1224,6 +1224,7 @@ class ResidentPipeline(LiorfPipeline):
                 raise RuntimeError(f"frame buffer layout drift: {o} != {buf.size}")
             self._dispatch_step(buf, S, W)
         self.last_scan_stamp = t0
+        self._prune_imu_queue(t0 - 1.0)
         self._stamps = getattr(self, "_stamps", [])
         self._stamps.append(t0)
         self.frame_idx += 1

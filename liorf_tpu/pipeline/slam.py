@@ -244,6 +244,27 @@ class LiorfPipeline:
             self._time_base_val = float(np.floor(t))
         return self._time_base_val
 
+    def _prune_imu_queue(self, before: float) -> None:
+        """Drop consumed IMU samples (stamps < ``before``).
+
+        Every per-frame window starts no earlier than the previous scan
+        stamp (fusion window: [last_scan_stamp, t0]; deskew: t0-0.01) and
+        ``_attitude_at`` wants the latest sample at/before the scan, so
+        with a 1 s reorder/attitude margin nothing older than
+        last_scan_stamp - 1 can ever be selected again. Without pruning
+        the queue grows to its 5000 cap and ``_imu_window``'s Python
+        selection scan costs ~10k comparisons per frame (called twice) —
+        a measurable host-path tax in long sessions (the host, not the
+        TPU, is the pipeline's critical path — docs/ARCHITECTURE.md §10)."""
+        q = self.imu_queue
+        cut = 0
+        for s in q:
+            if s.stamp >= before:
+                break
+            cut += 1
+        if cut:
+            del q[:cut]
+
     def _imu_window(self, t0: float, t1: float, cap: int):
         """Rebased fixed-size arrays of IMU samples in [t0, t1]."""
         base = self._time_base(t0)
@@ -388,6 +409,7 @@ class LiorfPipeline:
 
         self.last_pose = pose
         self.last_scan_stamp = t0
+        self._prune_imu_queue(t0 - 1.0)
         result = FrameResult(
             stamp=t0, pose=pose.copy(), degenerate=degenerate,
             is_keyframe=is_kf, num_matched=num_matched,
