@@ -12,12 +12,24 @@ from liorf_tpu.pipeline import LiorfPipeline, ResidentPipeline, SlamConfig
 from liorf_tpu.sensors.synthetic import SyntheticConfig, SyntheticDataset
 
 
+_STREAMS: dict = {}
+
+
 def _run(pipe_cls, syn, cfg, n_frames):
+    # freeze the sensor streams per dataset: imu_stream()/scan() draw
+    # fresh RNG noise on every call, so without caching, two pipelines
+    # "run on syn" see different noise realizations and their parity is
+    # only as tight as the noise allows (nondeterministic run-to-run)
+    key = id(syn)
+    if key not in _STREAMS or len(_STREAMS[key][0]) < n_frames:
+        _STREAMS[key] = (
+            [syn.scan(f) for f in range(n_frames)], syn.imu_stream()
+        )
+    scans, imu = _STREAMS[key]
     pipe = pipe_cls(cfg)
-    imu = syn.imu_stream()
     ii = 0
     for f in range(n_frames):
-        scan = syn.scan(f)
+        scan = scans[f]
         while ii < len(imu) and imu[ii].stamp <= scan.end_time + 0.02:
             pipe.push_imu(imu[ii])
             ii += 1
